@@ -1,0 +1,18 @@
+"""Test config: force a virtual 8-device CPU mesh before JAX initializes.
+
+Tests must run anywhere (CI, CPU-only machines) — the reference's
+"skip gracefully when no device" discipline (SURVEY.md §4) becomes
+"run everything on the CPU backend with forced host device count".
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
