@@ -1,0 +1,112 @@
+"""Model forward parity vs HF transformers (torch CPU).
+
+No pretrained weights exist in this environment (zero egress), so parity is
+checked with randomly-initialized weights copied from a torch
+Wav2Vec2ForCTC into the JAX pytree — logits must match to f32 tolerance.
+This replaces the reference's cross-runtime validation (Candle vs ONNX,
+SURVEY.md §4) with JAX-vs-torch.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from wav2vec2_tpu.config import Wav2Vec2ModelConfig
+from wav2vec2_tpu.models.ctc_model import make_forward_fn, frame_lengths
+from wav2vec2_tpu.models.params import params_from_torch_model
+
+
+def make_cfg(do_stable_layer_norm=False, feat_extract_norm="group"):
+    return dict(
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        intermediate_size=64,
+        conv_dim=[16, 16],
+        conv_kernel=[10, 3],
+        conv_stride=[5, 2],
+        num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4,
+        pad_token_id=0,
+        vocab_size=12,
+        do_stable_layer_norm=do_stable_layer_norm,
+        feat_extract_norm=feat_extract_norm,
+        conv_bias=feat_extract_norm == "layer",
+    )
+
+
+def build_pair(**kwargs):
+    d = make_cfg(**kwargs)
+    hf_cfg = transformers.Wav2Vec2Config(
+        **d,
+        hidden_dropout=0.0,
+        attention_dropout=0.0,
+        feat_proj_dropout=0.0,
+        final_dropout=0.0,
+        layerdrop=0.0,
+        hidden_act="gelu",
+    )
+    torch.manual_seed(0)
+    tm = transformers.Wav2Vec2ForCTC(hf_cfg).eval()
+    cfg = Wav2Vec2ModelConfig.from_dict(d)
+    params = params_from_torch_model(tm, cfg)
+    return tm, cfg, params
+
+
+@pytest.mark.parametrize(
+    "stable,norm",
+    [(False, "group"), (True, "layer")],
+    ids=["base-postnorm-groupnorm", "large-prenorm-layernorm"],
+)
+def test_logits_match_transformers(stable, norm):
+    tm, cfg, params = build_pair(do_stable_layer_norm=stable, feat_extract_norm=norm)
+    rng = np.random.default_rng(1)
+    audio = rng.normal(size=(1, 1600)).astype(np.float32)
+
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(audio)).logits.numpy()
+
+    fwd = make_forward_fn(cfg)
+    got = np.asarray(fwd(params, audio))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_padded_batch_matches_unpadded():
+    """Masked batch execution must equal per-utterance execution on valid
+    frames — the batching the reference lacks (SURVEY.md §2.8 DP row)."""
+    import jax.numpy as jnp
+
+    tm, cfg, params = build_pair(do_stable_layer_norm=False, feat_extract_norm="group")
+    rng = np.random.default_rng(2)
+    lens = [1600, 1100, 731]
+    n_pad = max(lens)
+    audios = [rng.normal(size=(n,)).astype(np.float32) for n in lens]
+
+    batch = np.zeros((len(lens), n_pad), np.float32)
+    for i, a in enumerate(audios):
+        batch[i, : len(a)] = a
+
+    fwd = make_forward_fn(cfg)
+    batched = np.asarray(fwd(params, batch, jnp.asarray(lens)))
+
+    for i, a in enumerate(audios):
+        single = np.asarray(fwd(params, a[None, :]))
+        t_i = cfg.conv_output_length(lens[i])
+        assert t_i == single.shape[1]
+        np.testing.assert_allclose(
+            batched[i, :t_i], single[0], rtol=2e-4, atol=2e-4,
+            err_msg=f"utterance {i} (len {lens[i]})",
+        )
+
+
+def test_frame_lengths_matches_config():
+    import jax.numpy as jnp
+
+    cfg = Wav2Vec2ModelConfig.from_dict(make_cfg())
+    lens = jnp.asarray([1600, 1100, 731, 10])
+    got = np.asarray(frame_lengths(cfg, lens))
+    expected = [cfg.conv_output_length(int(n)) for n in [1600, 1100, 731, 10]]
+    assert list(got) == expected

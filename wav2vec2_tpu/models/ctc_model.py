@@ -1,0 +1,130 @@
+"""Wav2Vec2ForCTC: the full acoustic model graph.
+
+Pipeline (reference: /root/reference/src/model/ctc_model.rs:9-33):
+audio [B, N] → feature extractor (conv stack, [B, C, T]) → transpose →
+feature projection ([B, T, H]) → encoder → lm_head (Linear H → V) →
+logits [B, T, V].
+
+The single jitted forward replaces BOTH reference runtimes (Candle and ONNX
+Runtime — SURVEY.md §7: they collapse into one XLA graph). Compute dtype is
+a parameter: float32 for bit-parity testing, bfloat16 for TPU throughput
+(norms/softmax/log-softmax stay f32 inside the layer implementations).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Wav2Vec2ModelConfig
+from .encoder import encoder_forward
+from .feature_extractor import feature_extractor_forward, feature_projection_forward
+from .layers import linear
+
+
+def wav2vec2_forward(
+    params: dict,
+    audio: jnp.ndarray,
+    cfg: Wav2Vec2ModelConfig,
+    audio_lens: jnp.ndarray | None = None,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
+    """audio: [B, N] normalized waveform → logits [B, T, V] (float32).
+
+    `audio_lens` [B] enables padding-exact batch execution: masked GroupNorm
+    statistics, zeroed padded frames, masked attention keys.
+
+    f32 compute runs with matmul precision HIGHEST (XLA's DEFAULT f32
+    conv/matmul uses reduced-precision passes that cost ~1e-2 logit error);
+    bf16 compute uses DEFAULT — bf16 inputs are MXU-native.
+    """
+    precision = "highest" if compute_dtype == jnp.float32 else "default"
+    with jax.default_matmul_precision(precision):
+        x = audio.astype(compute_dtype)
+        feats = feature_extractor_forward(
+            params["feature_extractor"], x, cfg, audio_lens=audio_lens
+        )
+        hidden = feature_projection_forward(
+            params["feature_projection"], feats.transpose(0, 2, 1), cfg
+        )
+
+        frame_mask = None
+        if audio_lens is not None:
+            t = hidden.shape[1]
+            frame_lens = frame_lengths(cfg, audio_lens)
+            frame_mask = jnp.arange(t)[None, :] < frame_lens[:, None]
+
+        hidden = encoder_forward(params["encoder"], hidden, cfg, frame_mask=frame_mask)
+        logits = linear(hidden, params["lm_head"]["kernel"], params["lm_head"]["bias"])
+        return logits.astype(jnp.float32)
+
+
+def frame_lengths(cfg: Wav2Vec2ModelConfig, audio_lens: jnp.ndarray) -> jnp.ndarray:
+    """Vector version of Wav2Vec2ModelConfig.conv_output_length."""
+    lens = audio_lens
+    for k, s in zip(cfg.conv_kernel, cfg.conv_stride):
+        lens = (lens - k) // s + 1
+    return jnp.maximum(lens, 0)
+
+
+def log_softmax_logits(logits: jnp.ndarray) -> jnp.ndarray:
+    """Max-shifted log-softmax over the vocab axis in float32 — the "post"
+    stage of the reference (model_runtime.rs:137: candle log_softmax;
+    model_runtime.rs:640-655: host row-wise max-shift version)."""
+    return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
+
+@partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
+def _forward_jit(params, audio, cfg, audio_lens, compute_dtype):
+    return wav2vec2_forward(
+        params, audio, cfg, audio_lens=audio_lens, compute_dtype=compute_dtype
+    )
+
+
+def make_forward_fn(cfg: Wav2Vec2ModelConfig, compute_dtype=jnp.float32):
+    """Returns a jitted forward(params, audio, audio_lens) → logits.
+
+    `cfg` must be hashable for the jit cache — dataclass instances are used
+    as static args via their id-stable tuple form."""
+    frozen = _freeze_cfg(cfg)
+
+    def fn(params, audio, audio_lens=None):
+        return _forward_jit(params, audio, frozen, audio_lens, compute_dtype)
+
+    return fn
+
+
+class _FrozenCfg:
+    """Hashable, immutable view of Wav2Vec2ModelConfig for jit static args."""
+
+    __slots__ = ("_cfg", "_key")
+
+    def __init__(self, cfg: Wav2Vec2ModelConfig):
+        object.__setattr__(self, "_cfg", cfg)
+        object.__setattr__(
+            self,
+            "_key",
+            (
+                cfg.hidden_size, cfg.num_hidden_layers, cfg.num_attention_heads,
+                cfg.intermediate_size, tuple(cfg.conv_dim), tuple(cfg.conv_kernel),
+                tuple(cfg.conv_stride), cfg.num_conv_pos_embeddings,
+                cfg.num_conv_pos_embedding_groups, cfg.do_stable_layer_norm,
+                cfg.layer_norm_eps, cfg.pad_token_id, cfg.vocab_size,
+                cfg.feat_extract_norm, cfg.conv_bias,
+            ),
+        )
+
+    def __getattr__(self, name):
+        return getattr(self._cfg, name)
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return isinstance(other, _FrozenCfg) and self._key == other._key
+
+
+def _freeze_cfg(cfg: Wav2Vec2ModelConfig) -> _FrozenCfg:
+    return cfg if isinstance(cfg, _FrozenCfg) else _FrozenCfg(cfg)

@@ -1,0 +1,152 @@
+"""wav2vec2 transformer encoder.
+
+Parity target: HF transformers `Wav2Vec2Encoder` /
+`Wav2Vec2EncoderStableLayerNorm` semantics, covering the same surface as the
+reference's encoder (/root/reference/src/model/encoder.rs:8-179):
+
+- PosConvEmbed: grouped Conv1d (kernel = num_conv_pos_embeddings,
+  pad = K/2, groups = num_conv_pos_embedding_groups) with weight-norm folded
+  at load time, output narrowed back to seq_len (encoder.rs:31-37), GELU,
+  residual add;
+- per-layer MHSA with the query pre-scaled by head_dim^-0.5 (encoder.rs:72),
+  f32 softmax, out proj; FFN up(GELU)/down;
+- both norm orders (encoder.rs:136-150): `do_stable_layer_norm` ⇒ pre-norm
+  with the encoder-level LayerNorm applied AFTER the layers; post-norm
+  (wav2vec2-base) ⇒ encoder-level LayerNorm applied after the pos-conv
+  residual, BEFORE the layers. NOTE: the reference applies the encoder-level
+  LN after the layers in both modes (encoder.rs:172-178); we follow the HF
+  order instead, which is what real checkpoints were trained with — verified
+  against transformers' torch implementation in tests/test_model_parity.py.
+
+TPU-native design: the N encoder layers are STACKED (leading axis L) and
+iterated with `lax.scan`, so compile time is depth-independent and the layer
+weights form a single sharded array per parameter (clean tensor-parallel
+pjit specs later). Attention key masking makes padded batches equal
+per-utterance execution.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Wav2Vec2ModelConfig
+from .layers import conv1d, gelu, layer_norm, linear
+
+
+def pos_conv_forward(
+    params: dict, x: jnp.ndarray, cfg: Wav2Vec2ModelConfig
+) -> jnp.ndarray:
+    """x: [B, T, H] → positional embeddings [B, T, H]."""
+    seq_len = x.shape[1]
+    h = conv1d(
+        x.transpose(0, 2, 1),
+        params["weight"],
+        params["bias"],
+        stride=1,
+        padding=cfg.num_conv_pos_embeddings // 2,
+        groups=cfg.num_conv_pos_embedding_groups,
+    )
+    h = h[:, :, :seq_len]  # narrow back (even kernel produces T+1)
+    return gelu(h).transpose(0, 2, 1)
+
+
+def _self_attention(
+    p: dict,
+    x: jnp.ndarray,
+    mask_bias: jnp.ndarray | None,
+    num_heads: int,
+) -> jnp.ndarray:
+    b, t, h = x.shape
+    head_dim = h // num_heads
+    scale = jnp.asarray(head_dim ** -0.5, dtype=x.dtype)
+
+    def split_heads(y):
+        return y.reshape(b, t, num_heads, head_dim).transpose(0, 2, 1, 3)
+
+    q = split_heads(linear(x, p["q_proj"]["kernel"], p["q_proj"]["bias"]) * scale)
+    k = split_heads(linear(x, p["k_proj"]["kernel"], p["k_proj"]["bias"]))
+    v = split_heads(linear(x, p["v_proj"]["kernel"], p["v_proj"]["bias"]))
+
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    if mask_bias is not None:
+        scores = scores + mask_bias
+    attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v, preferred_element_type=x.dtype)
+    out = out.transpose(0, 2, 1, 3).reshape(b, t, h)
+    return linear(out, p["out_proj"]["kernel"], p["out_proj"]["bias"])
+
+
+def _feed_forward(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+    up = gelu(linear(x, p["intermediate_dense"]["kernel"], p["intermediate_dense"]["bias"]))
+    return linear(up, p["output_dense"]["kernel"], p["output_dense"]["bias"])
+
+
+def _encoder_layer(
+    lp: dict,
+    x: jnp.ndarray,
+    mask_bias: jnp.ndarray | None,
+    cfg: Wav2Vec2ModelConfig,
+) -> jnp.ndarray:
+    eps = cfg.layer_norm_eps
+    nh = cfg.num_attention_heads
+    if cfg.do_stable_layer_norm:
+        # pre-norm: h = x + attn(ln1(x)); y = h + ff(ln2(h))
+        h = x + _self_attention(
+            lp["attention"],
+            layer_norm(x, lp["layer_norm"]["weight"], lp["layer_norm"]["bias"], eps),
+            mask_bias,
+            nh,
+        )
+        return h + _feed_forward(
+            lp["feed_forward"],
+            layer_norm(h, lp["final_layer_norm"]["weight"], lp["final_layer_norm"]["bias"], eps),
+        )
+    # post-norm (wav2vec2-base): h = ln1(x + attn(x)); y = ln2(h + ff(h))
+    h = layer_norm(
+        x + _self_attention(lp["attention"], x, mask_bias, nh),
+        lp["layer_norm"]["weight"],
+        lp["layer_norm"]["bias"],
+        eps,
+    )
+    return layer_norm(
+        h + _feed_forward(lp["feed_forward"], h),
+        lp["final_layer_norm"]["weight"],
+        lp["final_layer_norm"]["bias"],
+        eps,
+    )
+
+
+def encoder_forward(
+    params: dict,
+    x: jnp.ndarray,
+    cfg: Wav2Vec2ModelConfig,
+    frame_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """x: [B, T, H] hidden states → [B, T, H].
+
+    `frame_mask` [B, T] (1 = valid) zeroes padded frames before the pos-conv
+    and masks attention keys — padded batch == unpadded forward on valid
+    frames (HF does the same zeroing in Wav2Vec2Encoder.forward)."""
+    mask_bias = None
+    if frame_mask is not None:
+        x = x * frame_mask[:, :, None].astype(x.dtype)
+        mask_bias = jnp.where(
+            frame_mask[:, None, None, :].astype(bool), 0.0, -jnp.inf
+        ).astype(jnp.float32)
+
+    x = x + pos_conv_forward(params["pos_conv_embed"], x, cfg)
+    enc_ln = params["layer_norm"]
+    if not cfg.do_stable_layer_norm:
+        x = layer_norm(x, enc_ln["weight"], enc_ln["bias"], cfg.layer_norm_eps)
+        if frame_mask is not None:
+            x = x * frame_mask[:, :, None].astype(x.dtype)
+
+    def scan_body(h, lp):
+        return _encoder_layer(lp, h, mask_bias, cfg), None
+
+    x, _ = jax.lax.scan(scan_body, x, params["layers"])
+
+    if cfg.do_stable_layer_norm:
+        x = layer_norm(x, enc_ln["weight"], enc_ln["bias"], cfg.layer_norm_eps)
+    return x

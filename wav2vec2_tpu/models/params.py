@@ -1,0 +1,230 @@
+"""Parameter pytree construction: random init, HF safetensors loading, and
+torch state-dict conversion.
+
+The HF weight-name map matches what the reference's Candle loader consumes
+(/root/reference/src/pipeline/model_runtime.rs + SURVEY.md §3.3):
+`wav2vec2.feature_extractor.conv_layers.N.*`,
+`wav2vec2.feature_projection.*`, `wav2vec2.encoder.pos_conv_embed.conv.*`
+(weight-norm: weight_g/weight_v, both layouts, or the newer torch
+parametrizations aliases), `wav2vec2.encoder.layers.N.{attention,
+feed_forward, layer_norm, final_layer_norm}.*`, `wav2vec2.encoder.layer_norm`,
+and `lm_head`.
+
+Layout decisions (TPU-first):
+- Linear weights are pre-transposed to [in, out] kernels at load time.
+- Encoder layers are STACKED along a leading L axis for `lax.scan` and for
+  one-array-per-parameter sharding.
+- The weight-normalized pos-conv is folded into a plain conv weight at load
+  (feature_extractor.rs:113-133 semantics via layers.fold_weight_norm).
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Wav2Vec2ModelConfig
+from ..errors import RuntimeBackendError
+from .layers import fold_weight_norm
+
+
+def init_params(
+    cfg: Wav2Vec2ModelConfig, rng: jax.Array, dtype=jnp.float32
+) -> dict:
+    """Random-init parameter pytree (shape-identical to loaded checkpoints)."""
+    k_it = _key_iter(rng)
+
+    def dense(n_in, n_out):
+        scale = (2.0 / (n_in + n_out)) ** 0.5
+        return {
+            "kernel": (jax.random.normal(next(k_it), (n_in, n_out)) * scale).astype(dtype),
+            "bias": jnp.zeros((n_out,), dtype),
+        }
+
+    def ln(n):
+        return {"weight": jnp.ones((n,), dtype), "bias": jnp.zeros((n,), dtype)}
+
+    conv_layers = []
+    in_c = 1
+    for i, (out_c, k) in enumerate(zip(cfg.conv_dim, cfg.conv_kernel)):
+        conv = {
+            "weight": (
+                jax.random.normal(next(k_it), (out_c, in_c, k))
+                * (1.0 / (in_c * k)) ** 0.5
+            ).astype(dtype)
+        }
+        if cfg.conv_bias:
+            conv["bias"] = jnp.zeros((out_c,), dtype)
+        layer = {"conv": conv}
+        if cfg.feat_extract_norm == "layer" or (
+            cfg.feat_extract_norm == "group" and i == 0
+        ):
+            layer["layer_norm"] = ln(out_c)
+        conv_layers.append(layer)
+        in_c = out_c
+
+    h, ffn = cfg.hidden_size, cfg.intermediate_size
+    g = cfg.num_conv_pos_embedding_groups
+    kpos = cfg.num_conv_pos_embeddings
+    pos_conv = {
+        "weight": (
+            jax.random.normal(next(k_it), (h, h // g, kpos)) * (1.0 / (h // g * kpos)) ** 0.5
+        ).astype(dtype),
+        "bias": jnp.zeros((h,), dtype),
+    }
+
+    def enc_layer():
+        return {
+            "attention": {
+                "q_proj": dense(h, h), "k_proj": dense(h, h),
+                "v_proj": dense(h, h), "out_proj": dense(h, h),
+            },
+            "layer_norm": ln(h),
+            "feed_forward": {
+                "intermediate_dense": dense(h, ffn),
+                "output_dense": dense(ffn, h),
+            },
+            "final_layer_norm": ln(h),
+        }
+
+    layers = [enc_layer() for _ in range(cfg.num_hidden_layers)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+    return {
+        "feature_extractor": {"conv_layers": conv_layers},
+        "feature_projection": {
+            "layer_norm": ln(cfg.conv_dim[-1]),
+            "projection": dense(cfg.conv_dim[-1], h),
+        },
+        "encoder": {
+            "pos_conv_embed": pos_conv,
+            "layer_norm": ln(h),
+            "layers": stacked,
+        },
+        "lm_head": dense(h, cfg.vocab_size),
+    }
+
+
+def _key_iter(rng):
+    while True:
+        rng, sub = jax.random.split(rng)
+        yield sub
+
+
+# --- flat HF tensor dict → pytree ---
+
+_POS_CONV_ALIASES = {
+    "wav2vec2.encoder.pos_conv_embed.conv.parametrizations.weight.original0":
+        "wav2vec2.encoder.pos_conv_embed.conv.weight_g",
+    "wav2vec2.encoder.pos_conv_embed.conv.parametrizations.weight.original1":
+        "wav2vec2.encoder.pos_conv_embed.conv.weight_v",
+}
+
+
+def params_from_flat_dict(
+    tensors: dict[str, np.ndarray],
+    cfg: Wav2Vec2ModelConfig,
+    dtype=jnp.float32,
+) -> dict:
+    """Build the parameter pytree from a flat {hf_name: array} mapping
+    (safetensors file contents or a torch state_dict converted to numpy)."""
+    t = {}
+    for name, arr in tensors.items():
+        t[_POS_CONV_ALIASES.get(name, name)] = np.asarray(arr)
+
+    def get(name):
+        if name not in t:
+            raise RuntimeBackendError("load weights", f"missing tensor {name!r}")
+        return jnp.asarray(t[name], dtype=dtype)
+
+    def has(name):
+        return name in t
+
+    def dense(prefix):
+        w = get(prefix + ".weight")
+        return {"kernel": w.T, "bias": get(prefix + ".bias")}
+
+    def ln(prefix):
+        return {"weight": get(prefix + ".weight"), "bias": get(prefix + ".bias")}
+
+    conv_layers = []
+    for i in range(len(cfg.conv_dim)):
+        p = f"wav2vec2.feature_extractor.conv_layers.{i}"
+        conv = {"weight": get(p + ".conv.weight")}
+        if has(p + ".conv.bias"):
+            conv["bias"] = get(p + ".conv.bias")
+        layer = {"conv": conv}
+        if has(p + ".layer_norm.weight"):
+            layer["layer_norm"] = ln(p + ".layer_norm")
+        conv_layers.append(layer)
+
+    pos_p = "wav2vec2.encoder.pos_conv_embed.conv"
+    if has(pos_p + ".weight_v"):
+        pos_weight = fold_weight_norm(
+            get(pos_p + ".weight_g"), get(pos_p + ".weight_v")
+        ).astype(dtype)
+    else:
+        pos_weight = get(pos_p + ".weight")
+    pos_conv = {"weight": pos_weight, "bias": get(pos_p + ".bias")}
+
+    def enc_layer(i):
+        p = f"wav2vec2.encoder.layers.{i}"
+        return {
+            "attention": {
+                k: dense(f"{p}.attention.{k}")
+                for k in ("q_proj", "k_proj", "v_proj", "out_proj")
+            },
+            "layer_norm": ln(p + ".layer_norm"),
+            "feed_forward": {
+                "intermediate_dense": dense(p + ".feed_forward.intermediate_dense"),
+                "output_dense": dense(p + ".feed_forward.output_dense"),
+            },
+            "final_layer_norm": ln(p + ".final_layer_norm"),
+        }
+
+    layers = [enc_layer(i) for i in range(cfg.num_hidden_layers)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+    return {
+        "feature_extractor": {"conv_layers": conv_layers},
+        "feature_projection": {
+            "layer_norm": ln("wav2vec2.feature_projection.layer_norm"),
+            "projection": dense("wav2vec2.feature_projection.projection"),
+        },
+        "encoder": {
+            "pos_conv_embed": pos_conv,
+            "layer_norm": ln("wav2vec2.encoder.layer_norm"),
+            "layers": stacked,
+        },
+        "lm_head": dense("lm_head"),
+    }
+
+
+def load_safetensors_params(
+    path: str | Path, cfg: Wav2Vec2ModelConfig, dtype=jnp.float32
+) -> dict:
+    """Load an HF safetensors checkpoint into the parameter pytree
+    (replaces the reference's VarBuilder::from_buffered_safetensors path,
+    model_runtime.rs:120-129)."""
+    from safetensors import safe_open
+
+    tensors = {}
+    with safe_open(str(path), framework="numpy") as f:
+        for name in f.keys():
+            tensors[name] = f.get_tensor(name)
+    return params_from_flat_dict(tensors, cfg, dtype=dtype)
+
+
+def params_from_torch_model(torch_model, cfg: Wav2Vec2ModelConfig, dtype=jnp.float32) -> dict:
+    """Convert a transformers Wav2Vec2ForCTC torch module (used in parity
+    tests — no pretrained weights exist in this environment)."""
+    sd = {k: v.detach().cpu().numpy() for k, v in torch_model.state_dict().items()}
+    sd.pop("wav2vec2.masked_spec_embed", None)
+    return params_from_flat_dict(sd, cfg, dtype=dtype)
+
+
+_LAYER_RE = re.compile(r"wav2vec2\.encoder\.layers\.(\d+)\.")
