@@ -30,12 +30,26 @@ from .types import (
     WordConfidenceStats,
     WordTiming,
 )
+from .pipeline.builder import ForcedAlignerBuilder
+from .pipeline.runtime import (
+    AlignmentStageTimings,
+    ForcedAligner,
+    ProfiledAlignmentOutput,
+    normalize_audio,
+)
+from .pipeline.traits import ForwardOutput
 
 __all__ = [
     "AlignerHyperParams",
     "AlignmentError",
     "AlignmentInput",
     "AlignmentOutput",
+    "AlignmentStageTimings",
+    "ForcedAligner",
+    "ForcedAlignerBuilder",
+    "ForwardOutput",
+    "ProfiledAlignmentOutput",
+    "normalize_audio",
     "ExpansionPolicyConfig",
     "InvalidInputError",
     "IoError",

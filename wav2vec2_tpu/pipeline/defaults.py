@@ -1,0 +1,106 @@
+"""Default pipeline stage implementations.
+
+Adapters binding the stage protocols to the L2 algorithm modules, mirroring
+/root/reference/src/pipeline/defaults.rs:10-86 (CaseAwareTokenizer,
+ViterbiSequenceAligner, DefaultWordGrouper).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..align import tokenization
+from ..align.grouping import ProfiledWordGroupingOutput, group_into_words_profiled
+from ..align.grouping.path_to_words import FrameEvidence
+from ..config import AlignerHyperParams
+from ..ops import viterbi_ref
+from ..types import TokenSequence, WordTiming
+from .traits import ForwardOutput
+
+
+class CaseAwareTokenizer:
+    def tokenize(self, transcript, vocab, blank_id, word_sep_id) -> TokenSequence:
+        return tokenization.build_token_sequence_case_aware(
+            transcript, vocab, blank_id, word_sep_id
+        )
+
+
+class ViterbiSequenceAligner:
+    """Banded CTC Viterbi with backend dispatch.
+
+    Dispatch mirrors the reference's threshold logic (viterbi.rs:9-47):
+    below `kernel_dp_threshold` T·S the host numpy oracle runs (kernel
+    launch overhead analog); above it the device implementation runs — the
+    vectorized lax.scan DP, replaced by the Pallas kernel where available
+    (ops/viterbi_pallas). All backends produce bit-identical paths.
+    """
+
+    def __init__(self, hp: AlignerHyperParams | None = None, force_backend: str | None = None):
+        self.hp = hp or AlignerHyperParams()
+        self.force_backend = force_backend  # None | "numpy" | "scan" | "pallas"
+
+    def align_path(self, forward_output: ForwardOutput, tokens: list[int]) -> np.ndarray:
+        import jax.numpy as jnp
+
+        t_len = forward_output.t_len
+        s_len = len(tokens)
+        backend = self.force_backend
+        if backend is None:
+            backend = "numpy" if t_len * s_len < self.hp.kernel_dp_threshold else "device"
+
+        if backend == "numpy":
+            lp = np.asarray(forward_output.log_probs)[:t_len]
+            path = viterbi_ref.viterbi_numpy(lp, np.asarray(tokens))
+            return np.asarray([s for s, _ in path], dtype=np.int32)
+
+        lp = forward_output.log_probs
+        if not hasattr(lp, "device"):  # host numpy input
+            lp = jnp.asarray(lp, dtype=jnp.float32)
+        path = viterbi_ref.viterbi_single(
+            lp,
+            jnp.asarray(tokens, dtype=jnp.int32),
+            jnp.int32(t_len),
+            jnp.int32(s_len),
+        )
+        return np.asarray(path)[:t_len]
+
+
+class DefaultWordGrouper:
+    def __init__(self, hp: AlignerHyperParams | None = None):
+        self.hp = hp or AlignerHyperParams()
+
+    def group_words(
+        self,
+        path_states: np.ndarray,
+        token_sequence: TokenSequence,
+        evidence: FrameEvidence,
+        blank_id: int,
+        word_sep_id: int,
+        frame_stride_ms: float,
+    ) -> list[WordTiming]:
+        return self.group_words_profiled(
+            path_states, token_sequence, evidence, blank_id, word_sep_id,
+            frame_stride_ms,
+        ).words
+
+    def group_words_profiled(
+        self,
+        path_states: np.ndarray,
+        token_sequence: TokenSequence,
+        evidence: FrameEvidence,
+        blank_id: int,
+        word_sep_id: int,
+        frame_stride_ms: float,
+    ) -> ProfiledWordGroupingOutput:
+        path = [(int(s), t) for t, s in enumerate(path_states)]
+        return group_into_words_profiled(
+            path,
+            token_sequence.tokens,
+            token_sequence.chars,
+            token_sequence.normalized_words,
+            evidence,
+            blank_id,
+            word_sep_id,
+            frame_stride_ms,
+            self.hp,
+        )

@@ -1,0 +1,254 @@
+"""ForcedAligner runtime: orchestrates normalize → forward → tokenize →
+Viterbi → grouping.
+
+Behavioral contract from /root/reference/src/pipeline/runtime.rs:76-549:
+
+- empty samples or blank transcript short-circuit to an empty output (:77-79);
+- a sample-rate mismatch only warns (:81-87);
+- normalization is zero-mean/unit-variance with f64 accumulation and a 1e-7
+  σ floor (:501-517), skipped when the input carries a pre-normalized buffer;
+- the min-frames guard rejects T < ceil(S/2) as InvalidInput (:116-121);
+- `align_profiled` brackets every stage boundary with a device sync and folds
+  tokenization + residual time into group_ms so dp+conf+group == align_ms
+  exactly (:274-282); total_ms is a separate sync-to-sync measurement.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..align.grouping import frame_evidence_from_log_probs
+from ..config import AlignerHyperParams
+from ..errors import InvalidInputError
+from ..types import AlignmentInput, AlignmentOutput
+from .traits import ForwardOutput, RuntimeBackend, SequenceAligner, Tokenizer, WordGrouper
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class AlignmentStageTimings:
+    forward_ms: float = 0.0
+    post_ms: float = 0.0
+    dp_ms: float = 0.0
+    group_ms: float = 0.0
+    conf_ms: float = 0.0
+    align_ms: float = 0.0
+    total_ms: float = 0.0
+
+
+@dataclass
+class ProfiledAlignmentOutput:
+    output: AlignmentOutput
+    timings: AlignmentStageTimings
+    num_frames_t: int
+    state_len: int
+    ts_product: int
+    vocab_size: int
+    dtype: str
+    device: str
+    frame_stride_ms: float
+
+
+def normalize_audio(samples: np.ndarray) -> np.ndarray:
+    """Zero-mean/unit-variance in f64 accumulation, σ floor 1e-7
+    (runtime.rs:501-517)."""
+    x = np.asarray(samples, dtype=np.float32)
+    xd = x.astype(np.float64)
+    mean = xd.mean()
+    var = ((xd - mean) ** 2).mean()
+    std = max(np.sqrt(var), 1e-7)
+    return ((xd - mean) / std).astype(np.float32)
+
+
+class ForcedAligner:
+    def __init__(
+        self,
+        runtime_backend: RuntimeBackend,
+        vocab: dict[str, int],
+        blank_id: int,
+        word_sep_id: int,
+        frame_stride_ms: float,
+        expected_sample_rate_hz: int,
+        tokenizer: Tokenizer,
+        sequence_aligner: SequenceAligner,
+        word_grouper: WordGrouper,
+        hp: AlignerHyperParams | None = None,
+    ):
+        self.runtime_backend = runtime_backend
+        self.vocab = vocab
+        self.blank_id = blank_id
+        self.word_sep_id = word_sep_id
+        self._frame_stride_ms = frame_stride_ms
+        self.expected_sample_rate_hz = expected_sample_rate_hz
+        self.tokenizer = tokenizer
+        self.sequence_aligner = sequence_aligner
+        self.word_grouper = word_grouper
+        self.hp = hp or AlignerHyperParams()
+
+    def frame_stride_ms(self) -> float:
+        return self._frame_stride_ms
+
+    def _normalized(self, input: AlignmentInput) -> np.ndarray:
+        if input.normalized is not None:
+            return np.asarray(input.normalized, dtype=np.float32)
+        return normalize_audio(input.samples)
+
+    def _check_input(self, input: AlignmentInput) -> bool:
+        if len(input.samples) == 0 or not input.transcript.strip():
+            return False
+        if input.sample_rate_hz != self.expected_sample_rate_hz:
+            logger.warning(
+                "wav2vec2 aligner expects %d Hz, got %d Hz; quality may degrade",
+                self.expected_sample_rate_hz, input.sample_rate_hz,
+            )
+        return True
+
+    def align(self, input: AlignmentInput) -> AlignmentOutput:
+        if not self._check_input(input):
+            return AlignmentOutput(words=[])
+        normalized = self._normalized(input)
+        forward_output = self.runtime_backend.infer(normalized)
+        return self._align_rest(forward_output, input)[0]
+
+    def _align_rest(self, forward_output: ForwardOutput, input: AlignmentInput):
+        token_sequence = self.tokenizer.tokenize(
+            input.transcript, self.vocab, self.blank_id, self.word_sep_id
+        )
+        if not token_sequence.tokens:
+            return AlignmentOutput(words=[]), None, token_sequence
+
+        t_len = forward_output.t_len
+        s_len = len(token_sequence.tokens)
+        min_frames = -(-s_len // 2)
+        if t_len < min_frames:
+            raise InvalidInputError(
+                f"audio too short for transcript: {t_len} frames < {min_frames} required"
+            )
+
+        path_states = self.sequence_aligner.align_path(
+            forward_output, token_sequence.tokens
+        )
+        evidence = self._frame_evidence(forward_output, token_sequence, path_states)
+        grouped = self._group(path_states, token_sequence, evidence)
+        return AlignmentOutput(words=grouped.words), grouped, token_sequence
+
+    def _group(self, path_states, token_sequence, evidence):
+        """Route through the injected WordGrouper; the default grouper
+        exposes a profiled variant, custom ones are wrapped."""
+        if hasattr(self.word_grouper, "group_words_profiled"):
+            return self.word_grouper.group_words_profiled(
+                path_states, token_sequence, evidence,
+                self.blank_id, self.word_sep_id, self._frame_stride_ms,
+            )
+        from ..align.grouping import ProfiledWordGroupingOutput
+
+        words = self.word_grouper.group_words(
+            path_states, token_sequence, evidence,
+            self.blank_id, self.word_sep_id, self._frame_stride_ms,
+        )
+        return ProfiledWordGroupingOutput(words, 0.0, 0.0, 0.0)
+
+    def _frame_evidence(self, forward_output, token_sequence, path_states):
+        lp = forward_output.log_probs
+        t_len = forward_output.t_len
+        if hasattr(lp, "block_until_ready"):  # device-resident fast path
+            import jax.numpy as jnp
+
+            from ..ops.evidence import compute_frame_evidence_device
+
+            t_pad = lp.shape[0]
+            path_padded = np.zeros(t_pad, dtype=np.int32)
+            path_padded[:t_len] = path_states
+            return compute_frame_evidence_device(
+                lp,
+                jnp.asarray(token_sequence.tokens, dtype=jnp.int32),
+                jnp.asarray(path_padded),
+                self.blank_id,
+                t_len,
+            )
+        return frame_evidence_from_log_probs(
+            np.asarray(lp)[:t_len], token_sequence.tokens, path_states, self.blank_id
+        )
+
+    def align_profiled(self, input: AlignmentInput) -> ProfiledAlignmentOutput:
+        """Benchmark-grade instrumented pass (runtime.rs:140-303): device
+        sync at every stage boundary; dp+conf+group == align_ms exactly."""
+        backend = self.runtime_backend
+        if not self._check_input(input):
+            return self._empty_profiled()
+
+        normalized = self._normalized(input)
+        backend.synchronize()
+        t_total0 = time.perf_counter()
+
+        forward_output = backend.infer_profiled(normalized)
+
+        t_align0 = time.perf_counter()
+        token_sequence = self.tokenizer.tokenize(
+            input.transcript, self.vocab, self.blank_id, self.word_sep_id
+        )
+        if not token_sequence.tokens:
+            return self._empty_profiled()
+
+        t_len = forward_output.t_len
+        s_len = len(token_sequence.tokens)
+        min_frames = -(-s_len // 2)
+        if t_len < min_frames:
+            raise InvalidInputError(
+                f"audio too short for transcript: {t_len} frames < {min_frames} required"
+            )
+
+        t0 = time.perf_counter()
+        path_states = self.sequence_aligner.align_path(
+            forward_output, token_sequence.tokens
+        )
+        np.asarray(path_states)
+        dp_ms = (time.perf_counter() - t0) * 1000.0
+
+        evidence = self._frame_evidence(forward_output, token_sequence, path_states)
+        grouped = self._group(path_states, token_sequence, evidence)
+        backend.synchronize()
+        align_ms = (time.perf_counter() - t_align0) * 1000.0
+        total_ms = (time.perf_counter() - t_total0) * 1000.0
+        conf_ms = grouped.conf_ms
+        # residual (tokenization, evidence fetch) folds into group_ms so
+        # dp + conf + group == align_ms exactly (runtime.rs:274-279)
+        group_ms = align_ms - dp_ms - conf_ms
+
+        return ProfiledAlignmentOutput(
+            output=AlignmentOutput(words=grouped.words),
+            timings=AlignmentStageTimings(
+                forward_ms=forward_output.forward_ms,
+                post_ms=forward_output.post_ms,
+                dp_ms=dp_ms,
+                group_ms=group_ms,
+                conf_ms=conf_ms,
+                align_ms=align_ms,
+                total_ms=total_ms,
+            ),
+            num_frames_t=t_len,
+            state_len=s_len,
+            ts_product=t_len * s_len,
+            vocab_size=forward_output.vocab_size,
+            dtype=forward_output.dtype,
+            device=backend.device_label(),
+            frame_stride_ms=self._frame_stride_ms,
+        )
+
+    def _empty_profiled(self) -> ProfiledAlignmentOutput:
+        return ProfiledAlignmentOutput(
+            output=AlignmentOutput(words=[]),
+            timings=AlignmentStageTimings(),
+            num_frames_t=0,
+            state_len=0,
+            ts_product=0,
+            vocab_size=0,
+            dtype="",
+            device=self.runtime_backend.device_label(),
+            frame_stride_ms=self._frame_stride_ms,
+        )
