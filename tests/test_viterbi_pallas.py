@@ -1,0 +1,74 @@
+"""Pallas kernel vs numpy oracle — bit-identical path equivalence
+(the reference's gpu_matches_cpu discipline, viterbi_gpu.rs:328-347).
+Runs in interpret mode on CPU; compiled on TPU."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from wav2vec2_tpu.ops.viterbi_pallas import (
+    on_tpu,
+    viterbi_pallas_batch,
+    viterbi_pallas_host,
+    viterbi_pallas_single,
+)
+from wav2vec2_tpu.ops.viterbi_ref import viterbi_numpy
+
+INTERPRET = not on_tpu()
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_pallas_matches_numpy_random(seed):
+    rng = np.random.default_rng(seed)
+    t_len = int(rng.integers(3, 50))
+    vocab = int(rng.integers(4, 12))
+    s_len = int(rng.integers(1, min(2 * t_len, 24)))
+    tokens = rng.integers(0, vocab, size=s_len)
+    lp = rng.normal(size=(t_len, vocab)).astype(np.float32)
+    assert viterbi_pallas_host(lp, tokens) == viterbi_numpy(lp, tokens)
+
+
+def test_pallas_padded_matches_unpadded():
+    rng = np.random.default_rng(42)
+    t_len, vocab, s_len = 23, 8, 9
+    tokens = rng.integers(0, vocab, size=s_len)
+    lp = rng.normal(size=(t_len, vocab)).astype(np.float32)
+
+    t_pad = t_len + 10
+    lp_padded = np.zeros((t_pad, vocab), np.float32)
+    lp_padded[:t_len] = lp
+    tok_padded = np.zeros(s_len + 5, np.int64)
+    tok_padded[:s_len] = tokens
+
+    path = viterbi_pallas_single(
+        jnp.asarray(lp_padded), jnp.asarray(tok_padded, jnp.int32),
+        jnp.int32(t_len), jnp.int32(s_len), interpret=INTERPRET,
+    )
+    ref = viterbi_numpy(lp, tokens)
+    assert [s for s, _ in ref] == list(np.asarray(path)[:t_len])
+
+
+def test_pallas_batch_matches_per_sample():
+    rng = np.random.default_rng(7)
+    B, t_pad, vocab, s_pad = 3, 30, 8, 12
+    lp = rng.normal(size=(B, t_pad, vocab)).astype(np.float32)
+    tokens = rng.integers(0, vocab, size=(B, s_pad)).astype(np.int32)
+    t_lens = np.array([30, 21, 11], np.int32)
+    s_lens = np.array([12, 7, 3], np.int32)
+
+    batch_paths = np.asarray(
+        viterbi_pallas_batch(
+            jnp.asarray(lp), jnp.asarray(tokens),
+            jnp.asarray(t_lens), jnp.asarray(s_lens), interpret=INTERPRET,
+        )
+    )
+    for b in range(B):
+        ref = viterbi_numpy(lp[b, : t_lens[b]], tokens[b, : s_lens[b]])
+        assert [s for s, _ in ref] == list(batch_paths[b, : t_lens[b]]), f"sample {b}"
+
+
+def test_pallas_repeated_tokens_no_illegal_skip():
+    tokens = np.array([0, 1, 0, 1, 0])
+    rng = np.random.default_rng(3)
+    lp = rng.normal(size=(12, 3)).astype(np.float32)
+    assert viterbi_pallas_host(lp, tokens) == viterbi_numpy(lp, tokens)

@@ -1,0 +1,199 @@
+"""Fused banded CTC Viterbi — Pallas TPU kernel.
+
+The TPU equivalent of the reference's two native DP backends (CUDA
+viterbi.cu:58-181 single-block kernel with shared-memory ping-pong rows, and
+the WGSL single-workgroup shader viterbi.wgsl:26-127): ONE kernel runs the
+whole T-step wavefront sequentially with the S states mapped onto vector
+lanes, keeps the backpointer matrix in VMEM, performs the backtrace
+in-kernel, and returns only the T-length state path — the "only the path
+leaves the device" data-movement discipline (SURVEY.md §2.8).
+
+DP semantics are identical to ops/viterbi_ref.py (band, tie-breaking,
+final-state rule — viterbi.rs:50-156); the equivalence test asserts
+bit-identical paths against the numpy oracle, the reference's own
+gpu_matches_cpu pattern (viterbi_gpu.rs:328-347).
+
+Layout notes:
+- the emission matrix E[t, s] = log_probs[t, tokens[s]] is gathered by XLA
+  outside the kernel (one fused gather) and streamed row-by-row inside;
+- state rows are (1, S_pad) f32 with S_pad padded to a lane multiple (128);
+  cross-lane shifts use pltpu.roll;
+- backpointers are an int32 (T_pad, S_pad) VMEM scratch; dynamic lane
+  extraction in the backtrace uses a one-hot reduction (TPU has no scalar
+  dynamic vector extract);
+- scalars (t_len, s_len) ride in SMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _roll(row, k):
+    # interpret mode (CPU tests) lacks the TPU roll primitive; jnp.roll is
+    # semantically identical here
+    try:
+        return pltpu.roll(row, k, axis=1)
+    except Exception:
+        return jnp.roll(row, k, axis=1)
+
+
+def _viterbi_kernel(tlen_ref, slen_ref, emit_ref, tokneq_ref, path_ref, bp_ref):
+    t_pad, s_pad = emit_ref.shape
+    t_len = tlen_ref[0, 0]
+    s_len = slen_ref[0, 0]
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (1, s_pad), 1)
+    neg = jnp.float32(-jnp.inf)
+
+    # init row (viterbi.rs:62-65)
+    emit0 = emit_ref[0:1, :]
+    prev = jnp.where(s_idx == 0, emit0, neg)
+    prev = jnp.where((s_idx == 1) & (s_len > 1), emit0, prev)
+    final_floor = jnp.maximum(s_len - 2, 0)
+    tokneq = tokneq_ref[0:1, :] != 0
+
+    def shift(row, k):
+        return jnp.where(s_idx >= k, _roll(row, k), neg)
+
+    def forward_step(t, prev):
+        remaining = t_len - 1 - t
+        curr_start = jnp.maximum(final_floor - 2 * remaining, 0)
+        curr_end = jnp.minimum(2 * t + 1, s_len - 1)
+        emit = emit_ref[pl.ds(t, 1), :]
+
+        cand1 = shift(prev, 1)
+        cand2 = jnp.where(tokneq, shift(prev, 2), neg)
+        best = prev
+        step = jnp.zeros((1, s_pad), jnp.int32)
+        m1 = cand1 > best
+        best = jnp.where(m1, cand1, best)
+        step = jnp.where(m1, 1, step)
+        m2 = cand2 > best
+        best = jnp.where(m2, cand2, best)
+        step = jnp.where(m2, 2, step)
+
+        in_band = (s_idx >= curr_start) & (s_idx <= curr_end)
+        curr = jnp.where(in_band, best + emit, neg)
+        bp_row = jnp.where(in_band, step, 0)
+
+        active = t < t_len
+
+        @pl.when(active)
+        def _():
+            bp_ref[pl.ds(t, 1), :] = bp_row
+
+        return jnp.where(active, curr, prev)
+
+    last = jax.lax.fori_loop(1, t_pad, forward_step, prev)
+
+    # final state rule (viterbi.rs:90-93) — dynamic lane extract via one-hot
+    def lane_f32(row, idx):
+        return jnp.sum(jnp.where(s_idx == idx, row, jnp.float32(0.0)))
+
+    idx_last = jnp.maximum(s_len - 1, 0)
+    idx_prev = jnp.maximum(s_len - 2, 0)
+    # one-hot sum is unsafe with -inf lanes; compare via max over masked rows
+    v_last = jnp.max(jnp.where(s_idx == idx_last, last, neg))
+    v_prev = jnp.max(jnp.where(s_idx == idx_prev, last, neg))
+    final_s = jnp.where((s_len >= 2) & (v_prev > v_last), idx_prev, idx_last)
+
+    # in-kernel backtrace (viterbi.rs:95-113 / viterbi.cu:161-181)
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, (1, t_pad), 1)
+
+    def back_step(i, carry):
+        s, path_row = carry
+        t = t_pad - 1 - i
+        path_row = jnp.where(t_iota == t, s, path_row)
+        apply = (t >= 1) & (t < t_len)
+        bp_row = bp_ref[pl.ds(jnp.maximum(t, 1), 1), :]
+        step = jnp.sum(jnp.where(s_idx == s, bp_row, 0))
+        s = jnp.where(apply, s - step, s)
+        return s, path_row
+
+    _, path_row = jax.lax.fori_loop(
+        0, t_pad, back_step, (final_s, jnp.zeros((1, t_pad), jnp.int32))
+    )
+    path_ref[:] = path_row
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def viterbi_pallas_single(
+    log_probs: jnp.ndarray,
+    tokens: jnp.ndarray,
+    t_len: jnp.ndarray,
+    s_len: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Single-utterance fused Viterbi. Same contract as
+    viterbi_ref.viterbi_single: returns path [T_pad] int32 (frames >= t_len
+    hold the final state). vmap over the leading axis for batches."""
+    t_pad, _ = log_probs.shape
+    s_pad = _round_up(max(int(tokens.shape[0]), LANE), LANE)
+    tokens_p = jnp.pad(
+        tokens.astype(jnp.int32), (0, s_pad - tokens.shape[0])
+    )
+    emit = jnp.take(log_probs.astype(jnp.float32), tokens_p, axis=1)
+    tokneq = (tokens_p != jnp.roll(tokens_p, 2)).astype(jnp.int32)[None, :]
+
+    path = pl.pallas_call(
+        _viterbi_kernel,
+        out_shape=jax.ShapeDtypeStruct((1, t_pad), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((t_pad, s_pad), jnp.int32)],
+        interpret=interpret,
+    )(
+        jnp.reshape(jnp.asarray(t_len, jnp.int32), (1, 1)),
+        jnp.reshape(jnp.asarray(s_len, jnp.int32), (1, 1)),
+        emit,
+        tokneq,
+    )
+    return path[0]
+
+
+def viterbi_pallas_batch(log_probs, tokens, t_lens, s_lens, interpret=False):
+    """Batched fused Viterbi: vmap adds a grid dimension over utterances."""
+    fn = functools.partial(viterbi_pallas_single, interpret=interpret)
+    return jax.vmap(fn)(log_probs, tokens, t_lens, s_lens)
+
+
+def on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def viterbi_pallas_host(log_probs: np.ndarray, tokens: np.ndarray) -> list[tuple[int, int]]:
+    """Host convenience wrapper mirroring viterbi_ref.viterbi_jnp_host
+    (used by equivalence tests; interpret mode off-TPU)."""
+    t_len = int(log_probs.shape[0])
+    s_len = int(len(tokens))
+    if t_len == 0 or s_len == 0:
+        return []
+    path = viterbi_pallas_single(
+        jnp.asarray(log_probs, jnp.float32),
+        jnp.asarray(tokens, jnp.int32),
+        jnp.int32(t_len),
+        jnp.int32(s_len),
+        interpret=not on_tpu(),
+    )
+    states = np.asarray(path)
+    return [(int(s), t) for t, s in enumerate(states[:t_len])]

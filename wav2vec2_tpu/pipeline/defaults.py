@@ -56,12 +56,27 @@ class ViterbiSequenceAligner:
         lp = forward_output.log_probs
         if not hasattr(lp, "device"):  # host numpy input
             lp = jnp.asarray(lp, dtype=jnp.float32)
-        path = viterbi_ref.viterbi_single(
-            lp,
-            jnp.asarray(tokens, dtype=jnp.int32),
-            jnp.int32(t_len),
-            jnp.int32(s_len),
-        )
+        if backend == "device":
+            from ..ops.viterbi_pallas import on_tpu
+
+            backend = "pallas" if on_tpu() else "scan"
+        if backend == "pallas":
+            from ..ops.viterbi_pallas import on_tpu, viterbi_pallas_single
+
+            path = viterbi_pallas_single(
+                lp,
+                jnp.asarray(tokens, dtype=jnp.int32),
+                jnp.int32(t_len),
+                jnp.int32(s_len),
+                interpret=not on_tpu(),
+            )
+        else:
+            path = viterbi_ref.viterbi_single(
+                lp,
+                jnp.asarray(tokens, dtype=jnp.int32),
+                jnp.int32(t_len),
+                jnp.int32(s_len),
+            )
         return np.asarray(path)[:t_len]
 
 
