@@ -16,3 +16,13 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# This image registers a TPU ("axon") PJRT plugin from sitecustomize, which
+# pre-imports jax and wins over the JAX_PLATFORMS env var — force CPU via the
+# config API instead (must run before any backend initialization).
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass

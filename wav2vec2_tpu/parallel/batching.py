@@ -1,0 +1,236 @@
+"""Batched, sharded alignment — the throughput dimension the reference lacks.
+
+The reference aligns one utterance per forward (ONNX batch dim must be 1,
+model_runtime.rs:592-597; the CLI loop is sequential). Here utterances are
+bucketed by (audio length, token length), padded, and pushed through ONE
+jitted graph per bucket: forward → log-softmax → vmapped banded Viterbi →
+per-frame evidence — with the batch axis sharded over the mesh's 'data'
+axis. Only T-length vectors (path, emission lp, margin, blank prob) return
+to host; grouping stays host-side per utterance (words ≤ ~100).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..align.grouping import group_into_words
+from ..align.grouping.path_to_words import FrameEvidence
+from ..align.tokenization import build_token_sequence_case_aware
+from ..config import AlignerHyperParams, Wav2Vec2ModelConfig
+from ..models.ctc_model import frame_lengths, log_softmax_logits, wav2vec2_forward, _freeze_cfg
+from ..types import AlignmentOutput, WordTiming
+
+
+def _round_up(x: int, m: int) -> int:
+    return max(-(-x // m) * m, m)
+
+
+@dataclass
+class Bucket:
+    """One padded batch of utterance indices sharing (n_pad, s_pad)."""
+
+    indices: list[int]
+    n_pad: int
+    s_pad: int
+
+
+def bucket_utterances(
+    audio_lens: Sequence[int],
+    token_lens: Sequence[int],
+    audio_multiple: int = 16000,
+    token_multiple: int = 128,
+    max_batch: int = 64,
+) -> list[Bucket]:
+    """Group utterances into padded (n_pad, s_pad) buckets. Padding is exact
+    (masked model + banded DP), so bucketing only trades FLOPs for fewer XLA
+    compilations."""
+    groups: dict[tuple[int, int], list[int]] = {}
+    for i, (n, s) in enumerate(zip(audio_lens, token_lens)):
+        key = (_round_up(n, audio_multiple), _round_up(s, token_multiple))
+        groups.setdefault(key, []).append(i)
+    buckets = []
+    for (n_pad, s_pad), idxs in sorted(groups.items()):
+        for i in range(0, len(idxs), max_batch):
+            buckets.append(Bucket(idxs[i : i + max_batch], n_pad, s_pad))
+    return buckets
+
+
+def _evidence_batch(log_probs, tokens, paths, blank_id):
+    """[B,T,V],[B,S],[B,T] → per-frame evidence vectors [B,T]."""
+    t_pad = log_probs.shape[1]
+    bidx = jnp.arange(log_probs.shape[0])[:, None]
+    tidx = jnp.arange(t_pad)[None, :]
+    emit_lp = log_probs[bidx, tidx, jnp.take_along_axis(tokens, paths, axis=1)]
+    top2 = jax.lax.top_k(log_probs, 2)[0]
+    margin = jnp.where(
+        jnp.isfinite(top2).all(axis=-1), top2[..., 0] - top2[..., 1], jnp.float32(0.0)
+    )
+    blank_prob = jnp.exp(log_probs[:, :, blank_id])
+    return emit_lp, margin, blank_prob
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "compute_dtype", "use_pallas", "interpret")
+)
+def _batch_align_kernel(
+    params, audio, audio_lens, tokens, s_lens, blank_id, cfg, compute_dtype,
+    use_pallas, interpret,
+):
+    logits = wav2vec2_forward(
+        params, audio, cfg, audio_lens=audio_lens, compute_dtype=compute_dtype
+    )
+    log_probs = log_softmax_logits(logits)
+    t_lens = frame_lengths(cfg, audio_lens)
+    if use_pallas:
+        from ..ops.viterbi_pallas import viterbi_pallas_single
+
+        vit = functools.partial(viterbi_pallas_single, interpret=interpret)
+    else:
+        from ..ops.viterbi_ref import viterbi_single as vit
+    paths = jax.vmap(vit)(log_probs, tokens, t_lens, s_lens)
+    emit_lp, margin, blank_prob = _evidence_batch(log_probs, tokens, paths, blank_id)
+    return paths, t_lens, emit_lp, margin, blank_prob
+
+
+class BatchAligner:
+    """High-throughput batch alignment engine.
+
+    `mesh` (optional) shards the batch over the 'data' axis; params are
+    placed replicated (or TP-sharded via parallel.mesh.shard_params before
+    construction).
+    """
+
+    def __init__(
+        self,
+        model_cfg: Wav2Vec2ModelConfig,
+        params: dict,
+        vocab: dict[str, int],
+        compute_dtype: str = "bfloat16",
+        mesh=None,
+        use_pallas: bool | None = None,
+        hp: AlignerHyperParams | None = None,
+        sample_rate_hz: int = 16000,
+    ):
+        from ..ops.viterbi_pallas import on_tpu
+
+        self.cfg = _freeze_cfg(model_cfg)
+        self.params = params
+        self.vocab = vocab
+        self.blank_id = model_cfg.pad_token_id
+        self.word_sep_id = vocab.get("|", 0)
+        self.stride_ms = model_cfg.frame_stride_ms(sample_rate_hz)
+        self.hp = hp or AlignerHyperParams()
+        self.mesh = mesh
+        self.compute_dtype = (
+            jnp.float32 if compute_dtype == "float32" else jnp.bfloat16
+        )
+        self.use_pallas = on_tpu() if use_pallas is None else use_pallas
+        self.interpret = not on_tpu()
+
+    def _device_put_batch(self, audio, audio_lens, tokens, s_lens):
+        if self.mesh is None:
+            return map(jnp.asarray, (audio, audio_lens, tokens, s_lens))
+        from .mesh import batch_sharding
+
+        bs = batch_sharding(self.mesh)
+        return (
+            jax.device_put(audio, bs),
+            jax.device_put(audio_lens, bs),
+            jax.device_put(tokens, bs),
+            jax.device_put(s_lens, bs),
+        )
+
+    def align_padded_batch(self, audio, audio_lens, tokens, s_lens):
+        """audio [B, N_pad] f32 (pre-normalized), tokens [B, S_pad] int32.
+        Returns host tuples (paths, t_lens, emit_lp, margin, blank_prob)."""
+        audio, audio_lens, tokens, s_lens = self._device_put_batch(
+            np.asarray(audio, np.float32),
+            np.asarray(audio_lens, np.int32),
+            np.asarray(tokens, np.int32),
+            np.asarray(s_lens, np.int32),
+        )
+        out = _batch_align_kernel(
+            self.params, audio, audio_lens, tokens, s_lens,
+            jnp.int32(self.blank_id), self.cfg, self.compute_dtype,
+            self.use_pallas, self.interpret,
+        )
+        return tuple(np.asarray(x) for x in out)
+
+    def align_utterances(
+        self,
+        audios: Sequence[np.ndarray],
+        transcripts: Sequence[str],
+        audio_multiple: int = 16000,
+        token_multiple: int = 128,
+        max_batch: int = 64,
+    ) -> list[AlignmentOutput]:
+        """Full path: normalize, tokenize, bucket, batch-align, group."""
+        from ..pipeline.runtime import normalize_audio
+
+        from ..errors import InvalidInputError
+
+        seqs = [
+            build_token_sequence_case_aware(
+                t, self.vocab, self.blank_id, self.word_sep_id
+            )
+            for t in transcripts
+        ]
+        lens = [len(a) for a in audios]
+        s_lens = [len(s.tokens) for s in seqs]
+        outputs: list[AlignmentOutput | None] = [None] * len(audios)
+
+        active, active_lens, active_slens = [], [], []
+        for i, (n, seq) in enumerate(zip(lens, seqs)):
+            if n == 0 or not transcripts[i].strip() or not seq.normalized_words:
+                outputs[i] = AlignmentOutput(words=[])
+                continue
+            t_i = self.cfg.conv_output_length(n)
+            min_frames = -(-len(seq.tokens) // 2)
+            if t_i < min_frames:
+                # same contract as the single-utterance guard (runtime.rs:116-121)
+                raise InvalidInputError(
+                    f"utterance {i}: audio too short for transcript: "
+                    f"{t_i} frames < {min_frames} required"
+                )
+            active.append(i)
+            active_lens.append(n)
+            active_slens.append(len(seq.tokens))
+
+        for bucket in bucket_utterances(
+            active_lens, active_slens, audio_multiple, token_multiple, max_batch
+        ):
+            bucket.indices = [active[j] for j in bucket.indices]
+            b = len(bucket.indices)
+            audio = np.zeros((b, bucket.n_pad), np.float32)
+            tokens = np.zeros((b, bucket.s_pad), np.int32)
+            a_l = np.zeros(b, np.int32)
+            s_l = np.zeros(b, np.int32)
+            for j, i in enumerate(bucket.indices):
+                audio[j, : lens[i]] = normalize_audio(audios[i])
+                tokens[j, : s_lens[i]] = seqs[i].tokens
+                a_l[j] = lens[i]
+                s_l[j] = s_lens[i]
+
+            paths, t_lens, emit_lp, margin, blank_prob = self.align_padded_batch(
+                audio, a_l, tokens, s_l
+            )
+            for j, i in enumerate(bucket.indices):
+                t_i = int(t_lens[j])
+                ev = FrameEvidence(
+                    emit_lp=emit_lp[j, :t_i],
+                    margin=margin[j, :t_i],
+                    blank_prob=blank_prob[j, :t_i].astype(np.float64),
+                )
+                path = [(int(s), t) for t, s in enumerate(paths[j, :t_i])]
+                words = group_into_words(
+                    path, seqs[i].tokens, seqs[i].chars, seqs[i].normalized_words,
+                    ev, self.blank_id, self.word_sep_id, self.stride_ms, self.hp,
+                )
+                outputs[i] = AlignmentOutput(words=words)
+        return [o if o is not None else AlignmentOutput(words=[]) for o in outputs]
