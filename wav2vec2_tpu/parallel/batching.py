@@ -61,6 +61,23 @@ def bucket_utterances(
     return buckets
 
 
+def _normalize_batch(audio, audio_lens):
+    """On-device zero-mean/unit-variance per utterance over the valid
+    samples, padded region zeroed. f32 two-pass statistics (the host path
+    uses f64, runtime.rs:501-517 parity; at 16-bit audio dynamic range the
+    f32/f64 difference is below quantization noise). Accepts int16 audio —
+    shipping PCM to the chip halves host→device bandwidth."""
+    x = audio.astype(jnp.float32)
+    n_pad = x.shape[1]
+    m = (jnp.arange(n_pad)[None, :] < audio_lens[:, None]).astype(jnp.float32)
+    cnt = jnp.maximum(audio_lens.astype(jnp.float32), 1.0)
+    mean = jnp.sum(x * m, axis=1, keepdims=True) / cnt[:, None]
+    centered = (x - mean) * m
+    var = jnp.sum(centered * centered, axis=1, keepdims=True) / cnt[:, None]
+    std = jnp.maximum(jnp.sqrt(var), 1e-7)
+    return centered / std
+
+
 def _evidence_batch(log_probs, tokens, paths, blank_id):
     """[B,T,V],[B,S],[B,T] → per-frame evidence vectors [B,T]."""
     t_pad = log_probs.shape[1]
@@ -76,12 +93,15 @@ def _evidence_batch(log_probs, tokens, paths, blank_id):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "compute_dtype", "use_pallas", "interpret")
+    jax.jit,
+    static_argnames=("cfg", "compute_dtype", "use_pallas", "interpret", "normalize"),
 )
 def _batch_align_kernel(
     params, audio, audio_lens, tokens, s_lens, blank_id, cfg, compute_dtype,
-    use_pallas, interpret,
+    use_pallas, interpret, normalize=False,
 ):
+    if normalize:
+        audio = _normalize_batch(audio, audio_lens)
     logits = wav2vec2_forward(
         params, audio, cfg, audio_lens=audio_lens, compute_dtype=compute_dtype
     )
@@ -116,9 +136,11 @@ class BatchAligner:
         use_pallas: bool | None = None,
         hp: AlignerHyperParams | None = None,
         sample_rate_hz: int = 16000,
+        normalize_on_device: bool = False,
     ):
         from ..ops.viterbi_pallas import on_tpu
 
+        self.normalize_on_device = normalize_on_device
         self.cfg = _freeze_cfg(model_cfg)
         self.params = params
         self.vocab = vocab
@@ -146,20 +168,26 @@ class BatchAligner:
             jax.device_put(s_lens, bs),
         )
 
-    def align_padded_batch(self, audio, audio_lens, tokens, s_lens):
-        """audio [B, N_pad] f32 (pre-normalized), tokens [B, S_pad] int32.
-        Returns host tuples (paths, t_lens, emit_lp, margin, blank_prob)."""
+    def submit_padded_batch(self, audio, audio_lens, tokens, s_lens):
+        """Enqueue one padded batch; returns DEVICE handles without blocking
+        (uploads and kernels run async — the double-buffering lever)."""
         audio, audio_lens, tokens, s_lens = self._device_put_batch(
-            np.asarray(audio, np.float32),
+            np.ascontiguousarray(audio),
             np.asarray(audio_lens, np.int32),
             np.asarray(tokens, np.int32),
             np.asarray(s_lens, np.int32),
         )
-        out = _batch_align_kernel(
+        return _batch_align_kernel(
             self.params, audio, audio_lens, tokens, s_lens,
             jnp.int32(self.blank_id), self.cfg, self.compute_dtype,
-            self.use_pallas, self.interpret,
+            self.use_pallas, self.interpret, self.normalize_on_device,
         )
+
+    def align_padded_batch(self, audio, audio_lens, tokens, s_lens):
+        """audio [B, N_pad] (pre-normalized f32, or raw when
+        normalize_on_device), tokens [B, S_pad] int32. Returns host tuples
+        (paths, t_lens, emit_lp, margin, blank_prob)."""
+        out = self.submit_padded_batch(audio, audio_lens, tokens, s_lens)
         return tuple(np.asarray(x) for x in out)
 
     def align_utterances(
@@ -202,23 +230,41 @@ class BatchAligner:
             active_lens.append(n)
             active_slens.append(len(seq.tokens))
 
-        for bucket in bucket_utterances(
+        buckets = bucket_utterances(
             active_lens, active_slens, audio_multiple, token_multiple, max_batch
-        ):
+        )
+        for bucket in buckets:
             bucket.indices = [active[j] for j in bucket.indices]
+
+        # Two-phase pipeline: enqueue device work for up to `max_in_flight`
+        # buckets ahead (async uploads + kernels), group on host as results
+        # drain — transfers and TPU compute overlap host grouping.
+        max_in_flight = 4
+        in_flight: list[tuple[Bucket, tuple]] = []
+
+        def submit(bucket: Bucket):
             b = len(bucket.indices)
-            audio = np.zeros((b, bucket.n_pad), np.float32)
+            dtype = np.float32 if not self.normalize_on_device else np.asarray(
+                audios[bucket.indices[0]]
+            ).dtype
+            audio = np.zeros((b, bucket.n_pad), dtype)
             tokens = np.zeros((b, bucket.s_pad), np.int32)
             a_l = np.zeros(b, np.int32)
             s_l = np.zeros(b, np.int32)
             for j, i in enumerate(bucket.indices):
-                audio[j, : lens[i]] = normalize_audio(audios[i])
+                audio[j, : lens[i]] = (
+                    audios[i]
+                    if self.normalize_on_device
+                    else normalize_audio(audios[i])
+                )
                 tokens[j, : s_lens[i]] = seqs[i].tokens
                 a_l[j] = lens[i]
                 s_l[j] = s_lens[i]
+            return self.submit_padded_batch(audio, a_l, tokens, s_l)
 
-            paths, t_lens, emit_lp, margin, blank_prob = self.align_padded_batch(
-                audio, a_l, tokens, s_l
+        def drain(bucket: Bucket, handles: tuple):
+            paths, t_lens, emit_lp, margin, blank_prob = (
+                np.asarray(h) for h in handles
             )
             for j, i in enumerate(bucket.indices):
                 t_i = int(t_lens[j])
@@ -233,4 +279,11 @@ class BatchAligner:
                     ev, self.blank_id, self.word_sep_id, self.stride_ms, self.hp,
                 )
                 outputs[i] = AlignmentOutput(words=words)
+
+        for bucket in buckets:
+            in_flight.append((bucket, submit(bucket)))
+            if len(in_flight) >= max_in_flight:
+                drain(*in_flight.pop(0))
+        while in_flight:
+            drain(*in_flight.pop(0))
         return [o if o is not None else AlignmentOutput(words=[]) for o in outputs]
