@@ -1,0 +1,200 @@
+"""Data layer tests: WAV reader, native FLAC decoder round-trips, TextGrid
+read/write, LibriSpeech discovery."""
+
+import numpy as np
+import pytest
+
+from wav2vec2_tpu.data.audio import read_audio_mono, read_wav_mono, write_wav_mono
+from wav2vec2_tpu.data.flac import read_flac_mono, read_flac_mono_int16
+from wav2vec2_tpu.data.flac_encoder import write_flac
+from wav2vec2_tpu.data.librispeech import (
+    extract_audio_id,
+    filter_cases,
+    load_cases_from_transcripts,
+    resolve_dataset_base_and_subsets,
+)
+from wav2vec2_tpu.data.textgrid import (
+    build_textgrid,
+    parse_textgrid_file,
+    reference_words_from_textgrid,
+    write_textgrid,
+    write_textgrid_file,
+)
+from wav2vec2_tpu.types import WordConfidenceStats, WordTiming
+
+
+def rand_pcm(n, seed=0, scale=2000):
+    rng = np.random.default_rng(seed)
+    # low-pass-ish signal so fixed predictors have small residuals
+    x = np.cumsum(rng.integers(-scale // 20, scale // 20, size=n))
+    return np.clip(x, -32768, 32767).astype(np.int64)
+
+
+# --- WAV ---
+
+def test_wav_roundtrip(tmp_path):
+    x = rand_pcm(12_345).astype(np.int16)
+    p = tmp_path / "a.wav"
+    write_wav_mono(p, x, 16000)
+    got, rate = read_wav_mono(p)
+    assert rate == 16000
+    np.testing.assert_allclose(got, x.astype(np.float32) / 32768.0, atol=1e-7)
+
+
+# --- FLAC (native decoder vs Python encoder round-trip) ---
+
+@pytest.mark.parametrize(
+    "strategy", ["verbatim", "constant", "fixed0", "fixed1", "fixed2", "lpc1"]
+)
+def test_flac_mono_roundtrip(tmp_path, strategy):
+    n = 10_000
+    if strategy == "constant":
+        x = np.full(n, 123, np.int64)
+    else:
+        x = rand_pcm(n, seed=hash(strategy) % 100)
+    p = tmp_path / "a.flac"
+    write_flac(p, x, 16000, strategy=strategy)
+    got, rate = read_flac_mono(p)
+    assert rate == 16000
+    np.testing.assert_allclose(got, x.astype(np.float32) / 32768.0, atol=1e-7)
+
+
+@pytest.mark.parametrize("stereo_mode", ["independent", "mid-side"])
+def test_flac_stereo_roundtrip_averages_channels(tmp_path, stereo_mode):
+    n = 5_000
+    left = rand_pcm(n, seed=1)
+    right = rand_pcm(n, seed=2)
+    x = np.stack([left, right], axis=1)
+    p = tmp_path / "s.flac"
+    write_flac(p, x, 16000, strategy="fixed1", stereo_mode=stereo_mode)
+    got, rate = read_flac_mono(p)
+    expected = ((left + right).astype(np.float32) / 2.0) / 32768.0
+    np.testing.assert_allclose(got, expected, atol=1e-6)
+
+
+def test_flac_int16_path(tmp_path):
+    x = rand_pcm(3_000, seed=3)
+    p = tmp_path / "i.flac"
+    write_flac(p, x, 16000, strategy="fixed1")
+    got, rate = read_flac_mono_int16(p)
+    assert got.dtype == np.int16
+    np.testing.assert_array_equal(got, x.astype(np.int16))
+
+
+def test_flac_partial_final_block(tmp_path):
+    x = rand_pcm(4096 + 137, seed=4)
+    p = tmp_path / "p.flac"
+    write_flac(p, x, 16000, strategy="fixed2")
+    got, _ = read_flac_mono(p)
+    assert len(got) == len(x)
+
+
+def test_read_audio_mono_dispatch(tmp_path):
+    x = rand_pcm(1000, seed=5)
+    write_flac(tmp_path / "x.flac", x)
+    write_wav_mono(tmp_path / "x.wav", x.astype(np.int16))
+    f, _ = read_audio_mono(tmp_path / "x.flac")
+    w, _ = read_audio_mono(tmp_path / "x.wav")
+    np.testing.assert_allclose(f, w, atol=1e-7)
+
+
+# --- TextGrid ---
+
+def make_word(word, start, end, conf=0.9):
+    return WordTiming(word, start, end, conf, WordConfidenceStats(geo_mean_prob=conf))
+
+
+def test_textgrid_roundtrip(tmp_path):
+    words = [make_word("hello", 100, 500), make_word("world", 600, 1100)]
+    p = write_textgrid(tmp_path / "utt.flac", "hello world", words, 2000)
+    assert p.name == "utt.TextGrid"
+    tg = parse_textgrid_file(p)
+    assert [t.name for t in tg.tiers] == ["words", "words-confidence", "transcript"]
+    wt = tg.tier("words")
+    assert [(iv.text, iv.xmin, iv.xmax) for iv in wt.intervals] == [
+        ("hello", 0.1, 0.5), ("world", 0.6, 1.1),
+    ]
+    conf = tg.tier("words-confidence")
+    assert conf.intervals[0].text == "0.90"
+    assert tg.tier("transcript").intervals[0].text == "hello world"
+    refs = reference_words_from_textgrid(p)
+    assert [(r.word, r.start_ms, r.end_ms) for r in refs] == [
+        ("hello", 100, 500), ("world", 600, 1100),
+    ]
+
+
+def test_textgrid_clamps_and_enforces_monotone(tmp_path):
+    # overlapping + out-of-range words are clamped/sorted/dropped
+    words = [
+        make_word("b", 600, 900),
+        make_word("a", 100, 700),   # overlaps b → b start clamped to 700
+        make_word("zero", 2500, 2500),  # zero-length after clamp → dropped
+    ]
+    tg = build_textgrid("t", words, 2000)
+    wt = tg.tier("words")
+    texts = [iv.text for iv in wt.intervals]
+    assert texts == ["a", "b"]
+    assert wt.intervals[1].xmin >= wt.intervals[0].xmax - 1e-9
+    # duration extends to the max word end (text_grid_report_formatter.rs)
+    tg2 = build_textgrid("t", [make_word("late", 2500, 3000)], 2000)
+    assert tg2.xmax == pytest.approx(3.0)
+    assert [iv.text for iv in tg2.tier("words").intervals] == ["late"]
+
+
+def test_textgrid_suffix(tmp_path):
+    p = write_textgrid(tmp_path / "utt.flac", "x", [make_word("x", 0, 100)], 500,
+                       suffix="_tpu")
+    assert p.name == "utt_tpu.TextGrid"
+
+
+# --- LibriSpeech layout ---
+
+def make_dataset(tmp_path, layout="librispeech"):
+    if layout == "librispeech":
+        base = tmp_path / "LibriSpeech" / "test-clean" / "19" / "198"
+    else:
+        base = tmp_path / "mysubset" / "19" / "198"
+    base.mkdir(parents=True)
+    trans = base / "19-198.trans.txt"
+    lines = []
+    for i in range(3):
+        uid = f"19-198-{i:04d}"
+        x = rand_pcm(2000, seed=i)
+        write_flac(base / f"{uid}.flac", x)
+        lines.append(f"{uid} HELLO WORLD NUMBER {i}")
+    trans.write_text("\n".join(lines))
+    return tmp_path
+
+
+def test_resolve_librispeech_layout(tmp_path):
+    make_dataset(tmp_path, "librispeech")
+    root, subsets = resolve_dataset_base_and_subsets(tmp_path)
+    assert root == tmp_path
+    assert [s.name for s in subsets] == ["test-clean", "test-other"]
+
+
+def test_resolve_generic_layout(tmp_path):
+    make_dataset(tmp_path, "generic")
+    root, subsets = resolve_dataset_base_and_subsets(tmp_path)
+    assert [s.name for s in subsets] == ["mysubset"]
+
+
+def test_load_cases_and_filter(tmp_path):
+    make_dataset(tmp_path, "librispeech")
+    subset = tmp_path / "LibriSpeech" / "test-clean"
+    cases = load_cases_from_transcripts(tmp_path, [subset])
+    assert len(cases) == 3
+    assert cases[0].id == "19-198-0000"
+    assert cases[0].transcript == "HELLO WORLD NUMBER 0"
+    assert cases[0].audio_path.endswith("19-198-0000.flac")
+
+    filtered = filter_cases(cases, case_ids={"19-198-0001"})
+    assert [c.id for c in filtered] == ["19-198-0001"]
+    assert [c.id for c in filter_cases(cases, offset=1, limit=1)] == ["19-198-0001"]
+
+
+def test_extract_audio_id_fuzzy():
+    assert extract_audio_id("path/to/19-198-0001.flac") == "19-198-0001"
+    assert extract_audio_id("19-198-0001.TextGrid") == "19-198-0001"
+    assert extract_audio_id("19-198-0001") == "19-198-0001"
+    assert extract_audio_id("a\\b\\x.wav") == "x"
