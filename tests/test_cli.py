@@ -1,0 +1,138 @@
+"""End-to-end CLI tests: tiny random model + synthetic FLAC dataset →
+json / textgrid / perf outputs (mirrors the reference CLI's surface,
+alignment_report.rs)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from wav2vec2_tpu.cli.alignment_report import run
+from wav2vec2_tpu.data.flac_encoder import write_flac
+
+CONFIG = dict(
+    hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+    intermediate_size=64, conv_dim=[16, 16], conv_kernel=[10, 3],
+    conv_stride=[5, 2], num_conv_pos_embeddings=16,
+    num_conv_pos_embedding_groups=4, pad_token_id=0, vocab_size=32,
+    do_stable_layer_norm=False, feat_extract_norm="group", conv_bias=False,
+)
+
+
+@pytest.fixture(scope="module")
+def model_dir(tmp_path_factory):
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from safetensors.numpy import save_file
+
+    d = tmp_path_factory.mktemp("model")
+    hf_cfg = transformers.Wav2Vec2Config(**CONFIG)
+    torch.manual_seed(0)
+    tm = transformers.Wav2Vec2ForCTC(hf_cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    sd.pop("wav2vec2.masked_spec_embed", None)
+    save_file(sd, str(d / "model.safetensors"))
+    (d / "config.json").write_text(json.dumps(CONFIG))
+    vocab = {"<pad>": 0, "<s>": 1, "</s>": 2, "<unk>": 3, "|": 4}
+    for i, c in enumerate("ETAONIHSRDLUMWCFGYPBVKXJQZ"):
+        vocab[c] = 5 + i
+    (d / "vocab.json").write_text(json.dumps(vocab))
+    return d
+
+
+def _make_dataset(root):
+    base = root / "LibriSpeech" / "test-clean" / "1" / "2"
+    base.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    lines = []
+    for i, text in enumerate(["HELLO WORLD", "THE CAT", "GOOD DAY TO YOU"]):
+        uid = f"1-2-{i:04d}"
+        x = np.clip(np.cumsum(rng.integers(-80, 80, size=16000)), -30000, 30000)
+        write_flac(base / f"{uid}.flac", x.astype(np.int64), 16000)
+        lines.append(f"{uid} {text}")
+    (base / "1-2.trans.txt").write_text("\n".join(lines))
+    return root
+
+
+@pytest.fixture
+def dataset_root(tmp_path):
+    return _make_dataset(tmp_path / "data")
+
+
+def common_args(model_dir, dataset_root):
+    return [
+        "--model-dir", str(model_dir),
+        "--dataset-root", str(dataset_root),
+        "--compute-dtype", "float32",
+    ]
+
+
+def test_cli_textgrid_mode(model_dir, dataset_root):
+    rc = run(common_args(model_dir, dataset_root) + ["--output-format", "textgrid"])
+    assert rc == 0
+    tg_files = sorted((dataset_root / "LibriSpeech").rglob("*.TextGrid"))
+    assert len(tg_files) == 3
+    text = tg_files[0].read_text()
+    assert '"words"' in text and '"words-confidence"' in text and '"transcript"' in text
+
+
+def test_cli_json_mode(model_dir, dataset_root, tmp_path):
+    out = tmp_path / "report.json"
+    rc = run(common_args(model_dir, dataset_root) + ["--output-format", "json", "--out", str(out)])
+    assert rc == 0
+    report = json.loads(out.read_text())
+    assert report["schema_version"] == 1
+    assert report["meta"]["case_count"] == 3
+    assert len(report["sentences"]) == 3
+    s = report["sentences"][0]
+    assert s["split"] == "clean"
+    assert "structural" in s and "confidence" in s
+    # trans.txt fallback → no references
+    assert "reference_missing" in s["notes"]
+    assert report["aggregates"]["counts"]["total"] == 3
+    assert "global" in report["aggregates"]
+
+
+def test_cli_perf_mode(model_dir, dataset_root, tmp_path):
+    out = tmp_path / "perf.jsonl"
+    rc = run(
+        common_args(model_dir, dataset_root)
+        + ["--output-format", "perf", "--perf-out", str(out),
+           "--perf-warmup", "1", "--perf-repeats", "2", "--limit", "2",
+           "--perf-append", "--perf-scaling-report", "--no-batch"]
+    )
+    assert rc == 0
+    lines = [json.loads(l) for l in out.read_text().splitlines()]
+    assert len(lines) == 2
+    r = lines[0]
+    for key in ("utterance_id", "num_frames_t", "state_len", "ts_product",
+                "forward_ms", "post_ms", "dp_ms", "group_ms", "conf_ms",
+                "align_ms", "align_ms_per_ts", "align_ms_per_t", "total_ms"):
+        assert key in r, key
+    assert len(r["align_ms_repeats"]) == 2
+    assert abs(r["align_ms_repeats"][0] - (
+        r["dp_ms_repeats"][0] + r["conf_ms_repeats"][0] + r["group_ms_repeats"][0]
+    )) < 1e-6
+    summary = json.loads((tmp_path / "perf.jsonl.summary.json").read_text())
+    assert summary["aggregate"]["utterance_count"] == 2
+    assert summary["config"]["repeats"] == 2
+
+
+def test_cli_cases_file_filter(model_dir, dataset_root, tmp_path):
+    cases_file = tmp_path / "cases.txt"
+    cases_file.write_text("1-2-0001.flac\n")
+    out = tmp_path / "filtered.json"
+    rc = run(
+        common_args(model_dir, dataset_root)
+        + ["--output-format", "json", "--out", str(out),
+           "--cases-file", str(cases_file)]
+    )
+    assert rc == 0
+    report = json.loads(out.read_text())
+    assert [s["id"] for s in report["sentences"]] == ["1-2-0001"]
+
+
+def test_cli_missing_model_dir(dataset_root, tmp_path):
+    with pytest.raises(SystemExit):
+        run(["--model-dir", str(tmp_path / "nope"),
+             "--dataset-root", str(dataset_root)])

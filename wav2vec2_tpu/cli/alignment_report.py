@@ -1,0 +1,393 @@
+"""alignment_report CLI — benchmark / evaluation harness (L6).
+
+The TPU-native equivalent of the reference's `alignment_report` binary
+(/root/reference/src/bin/alignment_report.rs): aligns a LibriSpeech-layout
+dataset and emits JSON quality reports, TextGrid files, or perf JSONL with
+the same schema, flags, and env-var mirrors (WAV2VEC2_REPORT_*).
+
+TPU addition: json/textgrid modes run the bucketed BATCH aligner by default
+(the throughput dimension the reference lacks); perf mode measures the
+per-utterance profiled path exactly like the reference protocol (warmup on
+first case, N timed repeats, median/mean aggregate).
+
+Usage:
+    python -m wav2vec2_tpu.cli.alignment_report --model-dir M --dataset-root D \
+        --output-format {json,textgrid,perf} [--perf-out out.jsonl] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+import time
+from datetime import datetime, timezone
+from pathlib import Path
+
+import numpy as np
+
+from ..align.report import (
+    Meta,
+    Report,
+    aggregate_reports,
+    attach_outlier_traces,
+    compute_sentence_report,
+    infer_split,
+)
+from ..config import Wav2Vec2Config, Wav2Vec2ModelConfig, load_vocab
+from ..data.audio import read_audio_mono
+from ..data.librispeech import (
+    filter_cases,
+    load_case_filter,
+    load_cases_from_textgrids,
+    load_cases_from_transcripts,
+    resolve_dataset_base_and_subsets,
+)
+from ..data.textgrid import write_textgrid
+from ..types import AlignmentInput
+from . import perf_report_formatter as perf_fmt
+from .json_report_formatter import write_report
+
+OUTLIER_TRACE_TOP_N = 20
+
+
+def _env(name, default=None):
+    return os.environ.get(f"WAV2VEC2_REPORT_{name}", default)
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="alignment_report",
+        description="Generate deterministic forced-alignment quality reports",
+    )
+    p.add_argument("--model-dir", default=_env("MODEL_DIR", "models/wav2vec2_base_960h"))
+    p.add_argument("--dataset-root", default=_env("DATASET_ROOT", "test-data"))
+    p.add_argument("--cases-file", default=_env("CASES_FILE"))
+    p.add_argument("--out", default=_env("OUT"))
+    p.add_argument("--limit", type=int, default=_env("LIMIT"))
+    p.add_argument("--offset", type=int, default=int(_env("OFFSET", "0")))
+    p.add_argument("--device", default=_env("DEVICE", "tpu"))
+    p.add_argument(
+        "--compute-dtype", default=_env("COMPUTE_DTYPE", "float32"),
+        choices=["float32", "bfloat16"],
+    )
+    p.add_argument(
+        "--output-format", default=_env("FORMAT", "json"),
+        choices=["json", "textgrid", "perf"],
+    )
+    p.add_argument("--textgrid-suffix", default=_env("TEXTGRID_SUFFIX", ""))
+    p.add_argument(
+        "--batch", action=argparse.BooleanOptionalAction, default=True,
+        help="bucketed batch alignment for json/textgrid modes",
+    )
+    p.add_argument("--perf-out", default=_env("PERF_OUT"))
+    p.add_argument("--perf-warmup", type=int, default=int(_env("PERF_WARMUP", "10")))
+    p.add_argument("--perf-repeats", type=int, default=int(_env("PERF_REPEATS", "30")))
+    p.add_argument(
+        "--perf-aggregate", default=_env("PERF_AGGREGATE", "median"),
+        choices=["median", "mean"],
+    )
+    p.add_argument("--perf-append", action="store_true",
+                   default=_env("PERF_APPEND", "") == "1")
+    p.add_argument("--perf-scaling-report", action="store_true",
+                   default=_env("PERF_SCALING_REPORT", "") == "1")
+    return p
+
+
+def _require(path: Path, what: str) -> Path:
+    if not path.exists():
+        raise SystemExit(f"error: missing {what}: {path}")
+    return path
+
+
+def _load_model(args):
+    """Model dir must contain weights + config.json + vocab.json
+    (alignment_report.rs:964-1006)."""
+    model_dir = Path(args.model_dir)
+    config_path = _require(model_dir / "config.json", "config.json")
+    vocab_path = _require(model_dir / "vocab.json", "vocab.json")
+    weights_path = _require(model_dir / "model.safetensors", "model.safetensors")
+    model_cfg = Wav2Vec2ModelConfig.load(config_path)
+    vocab = load_vocab(vocab_path)
+    return model_dir, weights_path, config_path, vocab_path, model_cfg, vocab
+
+
+def _load_cases(args, json_mode: bool):
+    dataset_root, subsets = resolve_dataset_base_and_subsets(args.dataset_root)
+    existing = [s for s in subsets if s.exists()]
+    if not existing:
+        raise SystemExit(f"error: no subset directories found under {dataset_root}")
+    if json_mode:
+        try:
+            cases = load_cases_from_textgrids(dataset_root, existing)
+        except FileNotFoundError:
+            # fall back to trans.txt (report without references)
+            cases = load_cases_from_transcripts(dataset_root, existing)
+    else:
+        cases = load_cases_from_transcripts(dataset_root, existing)
+    case_ids = load_case_filter(args.cases_file) if args.cases_file else None
+    cases = filter_cases(cases, case_ids, args.offset, args.limit)
+    if not cases:
+        raise SystemExit("error: no cases after filtering")
+    return dataset_root, cases
+
+
+def _make_batch_aligner(args, model_cfg, vocab, params):
+    from ..parallel.batching import BatchAligner
+
+    return BatchAligner(
+        model_cfg, params, vocab, compute_dtype=args.compute_dtype,
+    )
+
+
+def _make_single_aligner(args, model_dir, model_cfg):
+    from ..pipeline.builder import ForcedAlignerBuilder
+
+    cfg = Wav2Vec2Config(
+        model_path=str(model_dir / "model.safetensors"),
+        config_path=str(model_dir / "config.json"),
+        vocab_path=str(model_dir / "vocab.json"),
+        device=args.device,
+    )
+    return (
+        ForcedAlignerBuilder(cfg)
+        .with_backend_options(compute_dtype=args.compute_dtype)
+        .build()
+    )
+
+
+def run(argv=None) -> int:
+    args = build_arg_parser().parse_args(argv)
+    t_start = time.perf_counter()
+
+    from ..utils.device import ensure_backend
+
+    platform = ensure_backend()
+    print(f"[alignment_report] jax platform: {platform}", file=sys.stderr)
+
+    model_dir, weights_path, _, _, model_cfg, vocab = _load_model(args)
+    json_mode = args.output_format == "json"
+    dataset_root, cases = _load_cases(args, json_mode)
+    print(f"[alignment_report] {len(cases)} cases; format={args.output_format}",
+          file=sys.stderr)
+
+    if args.output_format == "perf":
+        return _run_perf(args, model_dir, model_cfg, dataset_root, cases)
+
+    # load audio
+    audios = []
+    durations_ms = []
+    for c in cases:
+        samples, rate = read_audio_mono(dataset_root / c.audio_path)
+        audios.append(samples)
+        durations_ms.append(int(len(samples) / rate * 1000))
+
+    if args.batch:
+        from ..models.params import load_safetensors_params
+
+        params = load_safetensors_params(weights_path, model_cfg)
+        aligner = _make_batch_aligner(args, model_cfg, vocab, params)
+        outputs = aligner.align_utterances(audios, [c.transcript for c in cases])
+    else:
+        aligner = _make_single_aligner(args, model_dir, model_cfg)
+        outputs = []
+        for i, c in enumerate(cases):
+            outputs.append(
+                aligner.align(
+                    AlignmentInput(16000, audios[i], c.transcript)
+                )
+            )
+            if (i + 1) % 25 == 0:
+                print(f"[alignment_report] {i + 1}/{len(cases)}", file=sys.stderr)
+
+    if args.output_format == "textgrid":
+        for c, out, dur in zip(cases, outputs, durations_ms):
+            write_textgrid(
+                dataset_root / c.audio_path, c.transcript, out.words, dur,
+                suffix=args.textgrid_suffix,
+            )
+        print(f"[alignment_report] wrote {len(cases)} TextGrid files "
+              f"in {time.perf_counter() - t_start:.1f}s", file=sys.stderr)
+        return 0
+
+    # json mode
+    sentences = []
+    predicted_by_id = {}
+    references_by_id = {}
+    for c, out, dur in zip(cases, outputs, durations_ms):
+        split = infer_split(c.audio_path)
+        reference = c.reference_words if c.has_reference else None
+        sentences.append(
+            compute_sentence_report(c.id, split, out.words, reference, dur)
+        )
+        predicted_by_id[c.id] = out.words
+        if reference is not None:
+            references_by_id[c.id] = list(reference)
+    aggregates = aggregate_reports(sentences)
+    attach_outlier_traces(
+        sentences, predicted_by_id, references_by_id, OUTLIER_TRACE_TOP_N
+    )
+    import jax
+
+    report = Report(
+        schema_version=1,
+        meta=Meta(
+            generated_at=datetime.now(timezone.utc).isoformat(),
+            model_path=str(model_dir),
+            device=f"{jax.devices()[0].platform}",
+            frame_stride_ms=model_cfg.frame_stride_ms(16000),
+            case_count=len(cases),
+        ),
+        sentences=sentences,
+        aggregates=aggregates,
+    )
+    out_path = Path(args.out) if args.out else Path(
+        "alignment_reports"
+    ) / f"alignment-report-{datetime.now(timezone.utc):%Y%m%dT%H%M%SZ}.json"
+    write_report(report, out_path)
+    print(f"[alignment_report] wrote {out_path} "
+          f"in {time.perf_counter() - t_start:.1f}s", file=sys.stderr)
+    return 0
+
+
+def _run_perf(args, model_dir, model_cfg, dataset_root, cases) -> int:
+    """Perf mode (alignment_report.rs:314-481): pre-normalize once per case,
+    warmup ×N on the first case, ×M timed repeats, per-stage aggregation."""
+    if not args.perf_out:
+        raise SystemExit("error: perf mode requires --perf-out")
+    from ..pipeline.runtime import normalize_audio
+
+    aligner = _make_single_aligner(args, model_dir, model_cfg)
+    agg_fn = (
+        (lambda v: perf_fmt.metric_stats(v).median)
+        if args.perf_aggregate == "median"
+        else (lambda v: perf_fmt.metric_stats(v).mean)
+    )
+
+    appender = (
+        perf_fmt.PerfJsonlAppender(args.perf_out) if args.perf_append else None
+    )
+    records: list[perf_fmt.PerfUtteranceRecord] = []
+    scaling: list[tuple[str, int, int, int, float]] = []
+
+    for idx, c in enumerate(cases):
+        samples, rate = read_audio_mono(dataset_root / c.audio_path)
+        duration_ms = int(len(samples) / rate * 1000)
+        inp = AlignmentInput(
+            rate, samples, c.transcript, normalized=normalize_audio(samples)
+        )
+        if idx == 0:
+            for _ in range(args.perf_warmup):
+                aligner.align_profiled(inp)
+        stage_runs = {k: [] for k in
+                      ("forward", "post", "dp", "group", "conf", "align", "total")}
+        last = None
+        for _ in range(max(args.perf_repeats, 1)):
+            last = aligner.align_profiled(inp)
+            t = last.timings
+            for k, v in (("forward", t.forward_ms), ("post", t.post_ms),
+                         ("dp", t.dp_ms), ("group", t.group_ms),
+                         ("conf", t.conf_ms), ("align", t.align_ms),
+                         ("total", t.total_ms)):
+                stage_runs[k].append(v)
+
+        align_ms = agg_fn(stage_runs["align"])
+        ts = max(last.ts_product, 1)
+        record = perf_fmt.PerfUtteranceRecord(
+            utterance_id=c.id,
+            audio_path=c.audio_path,
+            duration_ms=duration_ms,
+            num_frames_t=last.num_frames_t,
+            state_len=last.state_len,
+            ts_product=last.ts_product,
+            vocab_size=last.vocab_size,
+            dtype=last.dtype,
+            device=last.device,
+            frame_stride_ms=last.frame_stride_ms,
+            warmup=args.perf_warmup,
+            repeats=args.perf_repeats,
+            aggregate=args.perf_aggregate,
+            forward_ms=agg_fn(stage_runs["forward"]),
+            post_ms=agg_fn(stage_runs["post"]),
+            dp_ms=agg_fn(stage_runs["dp"]),
+            group_ms=agg_fn(stage_runs["group"]),
+            conf_ms=agg_fn(stage_runs["conf"]),
+            align_ms=align_ms,
+            align_ms_per_ts=align_ms / ts,
+            align_ms_per_t=align_ms / max(last.num_frames_t, 1),
+            total_ms=agg_fn(stage_runs["total"]),
+            forward_ms_repeats=stage_runs["forward"],
+            post_ms_repeats=stage_runs["post"],
+            dp_ms_repeats=stage_runs["dp"],
+            group_ms_repeats=stage_runs["group"],
+            conf_ms_repeats=stage_runs["conf"],
+            align_ms_repeats=stage_runs["align"],
+            total_ms_repeats=stage_runs["total"],
+        )
+        records.append(record)
+        scaling.append(
+            (c.id, last.num_frames_t, last.state_len, last.ts_product,
+             record.dp_ms)
+        )
+        if appender is not None:
+            appender.append(record)
+        if (idx + 1) % 10 == 0:
+            print(f"[alignment_report] perf {idx + 1}/{len(cases)}",
+                  file=sys.stderr)
+
+    config = perf_fmt.PerfRunConfig(
+        warmup=args.perf_warmup, repeats=args.perf_repeats,
+        aggregate=args.perf_aggregate, append=args.perf_append,
+    )
+    aggregate = perf_fmt.aggregate_stats(records)
+    if appender is not None:
+        appender.finish()
+    else:
+        perf_fmt.write_json_report(args.perf_out, config, records, aggregate)
+    perf_fmt.write_summary_report(
+        perf_fmt.summary_path_for(args.perf_out), config, aggregate
+    )
+
+    if args.perf_scaling_report:
+        _print_scaling_report(scaling)
+    return 0
+
+
+def _print_scaling_report(scaling) -> None:
+    """Per-case T/S/T·S + Pearson corr(dp_ms, T·S) + worst dp_ms/TS outliers
+    (alignment_report.rs:1584-1664)."""
+    print("utterance_id\tT\tS\tT*S\tdp_ms\tdp_ms/TS")
+    ratios = []
+    for uid, t, s, ts, dp in scaling:
+        ratio = dp / max(ts, 1)
+        ratios.append((ratio, uid))
+        print(f"{uid}\t{t}\t{s}\t{ts}\t{dp:.3f}\t{ratio:.3e}")
+    xs = [float(ts) for _, _, _, ts, _ in scaling]
+    ys = [dp for *_, dp in scaling]
+    corr = _pearson(xs, ys)
+    print(f"pearson_corr(dp_ms, T*S) = {corr:.4f}" if corr is not None
+          else "pearson_corr(dp_ms, T*S) = n/a")
+    worst = sorted(ratios, reverse=True)[:5]
+    print("worst dp_ms/TS outliers: " + ", ".join(f"{uid} ({r:.3e})" for r, uid in worst))
+
+
+def _pearson(xs, ys):
+    n = len(xs)
+    if n < 2:
+        return None
+    mx, my = sum(xs) / n, sum(ys) / n
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    vx = sum((x - mx) ** 2 for x in xs)
+    vy = sum((y - my) ** 2 for y in ys)
+    if vx <= 0 or vy <= 0:
+        return None
+    return cov / math.sqrt(vx * vy)
+
+
+def main() -> None:
+    raise SystemExit(run())
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,42 @@
+"""Device/backend resolution with graceful degradation.
+
+The reference degrades wgpu → CUDA → CPU when an accelerator is unavailable
+(viterbi.rs:13-30, SURVEY.md §5 failure-detection). The JAX analog: if the
+configured platform (e.g. a TPU plugin) fails to initialize, fall back to
+the CPU backend with a warning instead of crashing — alignment still works,
+just slower.
+"""
+
+from __future__ import annotations
+
+import logging
+
+logger = logging.getLogger(__name__)
+
+_checked = False
+
+
+def ensure_backend() -> str:
+    """Initialize the JAX backend, falling back to CPU if the configured
+    platform fails. Returns the active platform name."""
+    global _checked
+    import jax
+
+    try:
+        platform = jax.devices()[0].platform
+        _checked = True
+        return platform
+    except RuntimeError as e:
+        if _checked:
+            raise
+        logger.warning(
+            "configured JAX platform failed to initialize (%s); "
+            "falling back to CPU", e,
+        )
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+        platform = jax.devices()[0].platform
+        _checked = True
+        return platform
