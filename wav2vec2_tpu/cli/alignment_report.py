@@ -283,8 +283,14 @@ def _run_perf(args, model_dir, model_cfg, dataset_root, cases) -> int:
         stage_runs = {k: [] for k in
                       ("forward", "post", "dp", "group", "conf", "align", "total")}
         last = None
-        for _ in range(max(args.perf_repeats, 1)):
-            last = aligner.align_profiled(inp)
+        memory = None
+        for rep in range(max(args.perf_repeats, 1)):
+            if rep == 0:
+                # memory profiled on repeat 0 only (alignment_report.rs perf loop)
+                last, stage_memory = aligner.align_profiled_with_memory(inp)
+                memory = _perf_memory_from_stages(stage_memory)
+            else:
+                last = aligner.align_profiled(inp)
             t = last.timings
             for k, v in (("forward", t.forward_ms), ("post", t.post_ms),
                          ("dp", t.dp_ms), ("group", t.group_ms),
@@ -324,6 +330,7 @@ def _run_perf(args, model_dir, model_cfg, dataset_root, cases) -> int:
             conf_ms_repeats=stage_runs["conf"],
             align_ms_repeats=stage_runs["align"],
             total_ms_repeats=stage_runs["total"],
+            memory=memory,
         )
         records.append(record)
         scaling.append(
@@ -352,6 +359,32 @@ def _run_perf(args, model_dir, model_cfg, dataset_root, cases) -> int:
     if args.perf_scaling_report:
         _print_scaling_report(scaling)
     return 0
+
+
+def _perf_memory_from_stages(stages) -> "perf_fmt.PerfMemory | None":
+    def snap(stage_mem):
+        if stage_mem is None:
+            return None
+        if stage_mem.device is not None:
+            return perf_fmt.GpuMemorySnapshot(
+                gpu_used=stage_mem.device.used,
+                gpu_total=stage_mem.device.total,
+                rss_peak=stage_mem.peak_rss_bytes,
+            )
+        return perf_fmt.GpuMemorySnapshot(
+            gpu_used=0, gpu_total=0, rss_peak=stage_mem.peak_rss_bytes
+        )
+
+    mem = perf_fmt.PerfMemory(
+        forward=snap(stages.forward),
+        post=snap(stages.post),
+        dp=snap(stages.dp),
+        group=snap(stages.group),
+        conf=snap(stages.conf),
+    )
+    if all(v is None for v in (mem.forward, mem.post, mem.dp, mem.group, mem.conf)):
+        return None
+    return mem
 
 
 def _print_scaling_report(scaling) -> None:

@@ -22,6 +22,10 @@ PERF_SCHEMA_VERSION = 1
 class GpuMemorySnapshot:
     gpu_used: int
     gpu_total: int
+    # additive extension over the reference schema: host RSS peak for the
+    # stage (the reference tracks RSS separately; comparison tools ignore
+    # unknown fields)
+    rss_peak: Optional[int] = None
 
 
 @dataclass

@@ -240,6 +240,84 @@ class ForcedAligner:
             frame_stride_ms=self._frame_stride_ms,
         )
 
+    def align_profiled_with_memory(
+        self, input: AlignmentInput
+    ) -> tuple[ProfiledAlignmentOutput, "StageMemoryMap"]:
+        """align_profiled + per-stage peak memory (runtime.rs:305-493): the
+        forward, dp, and group stages run under a 5 ms RSS sampler thread
+        with a device sync before each accelerator-memory read."""
+        from .memory_tracker import MemoryTracker, StageMemoryMap
+
+        backend = self.runtime_backend
+        if not self._check_input(input):
+            return self._empty_profiled(), StageMemoryMap()
+
+        tracker = MemoryTracker()
+        normalized = self._normalized(input)
+        backend.synchronize()
+        t_total0 = time.perf_counter()
+
+        forward_output = tracker.measure(
+            "forward", backend.synchronize,
+            lambda: backend.infer_profiled(normalized),
+        )
+
+        t_align0 = time.perf_counter()
+        token_sequence = self.tokenizer.tokenize(
+            input.transcript, self.vocab, self.blank_id, self.word_sep_id
+        )
+        if not token_sequence.tokens:
+            return self._empty_profiled(), tracker.stages
+
+        t_len = forward_output.t_len
+        s_len = len(token_sequence.tokens)
+        min_frames = -(-s_len // 2)
+        if t_len < min_frames:
+            raise InvalidInputError(
+                f"audio too short for transcript: {t_len} frames < {min_frames} required"
+            )
+
+        t0 = time.perf_counter()
+        path_states = tracker.measure(
+            "dp", backend.synchronize,
+            lambda: self.sequence_aligner.align_path(
+                forward_output, token_sequence.tokens
+            ),
+        )
+        dp_ms = (time.perf_counter() - t0) * 1000.0
+
+        evidence = self._frame_evidence(forward_output, token_sequence, path_states)
+        grouped = tracker.measure(
+            "group", backend.synchronize,
+            lambda: self._group(path_states, token_sequence, evidence),
+        )
+        backend.synchronize()
+        align_ms = (time.perf_counter() - t_align0) * 1000.0
+        total_ms = (time.perf_counter() - t_total0) * 1000.0
+        conf_ms = grouped.conf_ms
+        group_ms = align_ms - dp_ms - conf_ms
+
+        profiled = ProfiledAlignmentOutput(
+            output=AlignmentOutput(words=grouped.words),
+            timings=AlignmentStageTimings(
+                forward_ms=forward_output.forward_ms,
+                post_ms=forward_output.post_ms,
+                dp_ms=dp_ms,
+                group_ms=group_ms,
+                conf_ms=conf_ms,
+                align_ms=align_ms,
+                total_ms=total_ms,
+            ),
+            num_frames_t=t_len,
+            state_len=s_len,
+            ts_product=t_len * s_len,
+            vocab_size=forward_output.vocab_size,
+            dtype=forward_output.dtype,
+            device=backend.device_label(),
+            frame_stride_ms=self._frame_stride_ms,
+        )
+        return profiled, tracker.stages
+
     def _empty_profiled(self) -> ProfiledAlignmentOutput:
         return ProfiledAlignmentOutput(
             output=AlignmentOutput(words=[]),
