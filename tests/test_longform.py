@@ -1,0 +1,78 @@
+"""Long-form chunked alignment tests."""
+
+import numpy as np
+import pytest
+
+from wav2vec2_tpu.align.longform import align_longform, chunk_spans, stitch_log_probs
+from wav2vec2_tpu.config import Wav2Vec2ModelConfig
+
+
+def test_chunk_spans_cover_and_overlap():
+    spans = chunk_spans(100_000, 32_000, 8_000, 320)
+    assert spans[0][0] == 0
+    assert spans[-1][1] == 100_000
+    for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+        assert b0 < a1  # overlap
+        assert b0 % 320 == 0
+    # full coverage
+    covered = set()
+    for s0, s1 in spans:
+        covered.update(range(s0 // 320, s1 // 320))
+    assert covered == set(range(100_000 // 320))
+
+
+def test_stitch_prefers_deepest_context():
+    stride = 10
+    v = 4
+    # two chunks of 10 frames each, overlapping by 4 frames (global 6..9)
+    lp0 = np.zeros((10, v), np.float32)
+    lp1 = np.ones((10, v), np.float32)
+    spans = [(0, 100), (60, 160)]
+    out = stitch_log_probs([lp0, lp1], spans, stride, 16)
+    # global frame 6 is local 6 in chunk0 (depth 3) and local 0 in chunk1
+    # (depth 0) → chunk0 wins; global 9 is local 9 (depth 0) vs local 3
+    # (depth 3) → chunk1 wins
+    assert out[6, 0] == 0.0
+    assert out[9, 0] == 1.0
+    assert out[5, 0] == 0.0 and out[12, 0] == 1.0
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    import jax
+
+    from wav2vec2_tpu.models.params import init_params
+
+    cfg = Wav2Vec2ModelConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, conv_dim=[16, 16], conv_kernel=[10, 3],
+        conv_stride=[5, 2], num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4, pad_token_id=0, vocab_size=8,
+        feat_extract_norm="group", conv_bias=False,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    vocab = {"a": 1, "b": 2, "|": 3}
+    return cfg, params, vocab
+
+
+def test_longform_short_audio_equals_single_forward(tiny_model):
+    cfg, params, vocab = tiny_model
+    rng = np.random.default_rng(0)
+    audio = rng.normal(size=8000).astype(np.float32)
+    out = align_longform(audio, "ab ba", params, cfg, vocab,
+                         chunk_sec=2.0, overlap_sec=0.5, sample_rate=16000)
+    assert [w.word for w in out.words] == ["ab", "ba"]
+
+
+def test_longform_chunked_produces_monotone_words(tiny_model):
+    cfg, params, vocab = tiny_model
+    rng = np.random.default_rng(1)
+    # 3 s audio with 1 s chunks → 4+ chunks
+    audio = rng.normal(size=48_000).astype(np.float32)
+    transcript = "ab ba ab ba ab"
+    out = align_longform(audio, transcript, params, cfg, vocab,
+                         chunk_sec=1.0, overlap_sec=0.25, sample_rate=16000)
+    assert [w.word for w in out.words] == transcript.split()
+    for a, b in zip(out.words, out.words[1:]):
+        assert a.end_ms <= b.start_ms
+    assert out.words[-1].end_ms <= 3000

