@@ -1,0 +1,73 @@
+"""Checkpoint round-trips: orbax pytree save/restore and safetensors
+export/import inverse."""
+
+import numpy as np
+import pytest
+
+from wav2vec2_tpu.config import Wav2Vec2ModelConfig
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    import jax
+
+    from wav2vec2_tpu.models.params import init_params
+
+    cfg = Wav2Vec2ModelConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, conv_dim=[16, 16], conv_kernel=[10, 3],
+        conv_stride=[5, 2], num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4, pad_token_id=0, vocab_size=8,
+        feat_extract_norm="group", conv_bias=False,
+    )
+    return cfg, init_params(cfg, jax.random.PRNGKey(0))
+
+
+def assert_trees_equal(a, b):
+    import jax
+
+    flat_a = jax.tree_util.tree_leaves_with_path(a)
+    flat_b = {jax.tree_util.keystr(p): v for p, v in jax.tree_util.tree_leaves_with_path(b)}
+    assert len(flat_a) == len(flat_b)
+    for path, leaf in flat_a:
+        key = None
+        import jax.tree_util as jtu
+
+        key = jtu.keystr(path)
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_b[key]), atol=1e-6, err_msg=key
+        )
+
+
+def test_orbax_roundtrip(tiny, tmp_path):
+    from wav2vec2_tpu.utils.checkpoint import restore_params, save_params
+
+    cfg, params = tiny
+    save_params(tmp_path / "ckpt", params)
+    restored = restore_params(tmp_path / "ckpt", like=params)
+    assert_trees_equal(params, restored)
+
+
+def test_safetensors_export_import_inverse(tiny, tmp_path):
+    """params → HF flat dict → params must be the identity (and the HF
+    naming must be loadable by params_from_flat_dict)."""
+    from wav2vec2_tpu.models.params import params_from_flat_dict
+    from wav2vec2_tpu.utils.checkpoint import params_to_hf_flat_dict
+
+    cfg, params = tiny
+    flat = params_to_hf_flat_dict(params, cfg)
+    assert "wav2vec2.encoder.layers.0.attention.q_proj.weight" in flat
+    assert "lm_head.weight" in flat
+    reloaded = params_from_flat_dict(flat, cfg)
+    assert_trees_equal(params, reloaded)
+
+
+def test_safetensors_file_roundtrip(tiny, tmp_path):
+    from wav2vec2_tpu.models.params import load_safetensors_params
+    from wav2vec2_tpu.utils.checkpoint import save_safetensors
+
+    cfg, params = tiny
+    path = tmp_path / "model.safetensors"
+    save_safetensors(path, params, cfg)
+    reloaded = load_safetensors_params(path, cfg)
+    assert_trees_equal(params, reloaded)

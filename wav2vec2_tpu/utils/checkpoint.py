@@ -44,7 +44,9 @@ def params_to_hf_flat_dict(params: dict, cfg) -> dict[str, np.ndarray]:
     out: dict[str, np.ndarray] = {}
 
     def put(name, arr):
-        out[name] = np.asarray(arr)
+        # transposed views must be materialized — safetensors serializes the
+        # underlying buffer, not the strided view
+        out[name] = np.ascontiguousarray(np.asarray(arr))
 
     fe = params["feature_extractor"]["conv_layers"]
     for i, layer in enumerate(fe):
@@ -82,6 +84,8 @@ def params_to_hf_flat_dict(params: dict, cfg) -> dict[str, np.ndarray]:
                 stacked["attention"][proj]["bias"][i])
         put(f"{p}.layer_norm.weight", stacked["layer_norm"]["weight"][i])
         put(f"{p}.layer_norm.bias", stacked["layer_norm"]["bias"][i])
+        put(f"{p}.final_layer_norm.weight", stacked["final_layer_norm"]["weight"][i])
+        put(f"{p}.final_layer_norm.bias", stacked["final_layer_norm"]["bias"][i])
         for name in ("intermediate_dense", "output_dense"):
             put(f"{p}.feed_forward.{name}.weight",
                 np.asarray(stacked["feed_forward"][name]["kernel"][i]).T)
