@@ -39,13 +39,28 @@ from .pipeline.runtime import (
 )
 from .pipeline.traits import ForwardOutput
 
+
+def __getattr__(name):
+    # heavier subsystems load lazily so `import wav2vec2_tpu` stays light
+    if name == "BatchAligner":
+        from .parallel.batching import BatchAligner
+
+        return BatchAligner
+    if name == "align_longform":
+        from .align.longform import align_longform
+
+        return align_longform
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
 __all__ = [
     "AlignerHyperParams",
     "AlignmentError",
     "AlignmentInput",
     "AlignmentOutput",
     "AlignmentStageTimings",
+    "BatchAligner",
     "ForcedAligner",
+    "align_longform",
     "ForcedAlignerBuilder",
     "ForwardOutput",
     "ProfiledAlignmentOutput",

@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..config import Wav2Vec2ModelConfig
-from .layers import conv1d_im2col, gelu, group_norm_1d, layer_norm, linear
+from .layers import feature_conv1d, gelu, group_norm_1d, layer_norm, linear
 
 
 def feature_extractor_forward(
@@ -38,7 +38,7 @@ def feature_extractor_forward(
         zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride)
     ):
         layer = params["conv_layers"][i]
-        x = conv1d_im2col(x, layer["conv"]["weight"], layer["conv"].get("bias"), stride=s)
+        x = feature_conv1d(x, layer["conv"]["weight"], layer["conv"].get("bias"), stride=s)
         if lens is not None:
             lens = (lens - k) // s + 1
             t = x.shape[2]

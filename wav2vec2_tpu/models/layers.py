@@ -107,21 +107,32 @@ def conv1d(
     return out
 
 
+def feature_conv1d(
+    x: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: jnp.ndarray | None,
+    stride: int,
+) -> jnp.ndarray:
+    """VALID 1-D convolution for the feature-extractor stack, dispatched per
+    platform: the native lax.conv on TPU (fastest — XLA tiles it onto the
+    MXU directly), the im2col formulation elsewhere, which works around an
+    XLA-CPU miscompile where a conv fused with upstream producers returns a
+    wrong LAST output frame for specific input lengths (regression test:
+    tests/test_conv_im2col.py)."""
+    if jax.default_backend() == "tpu":
+        return conv1d(x, weight, bias, stride=stride)
+    return conv1d_im2col(x, weight, bias, stride)
+
+
 def conv1d_im2col(
     x: jnp.ndarray,
     weight: jnp.ndarray,
     bias: jnp.ndarray | None,
     stride: int,
 ) -> jnp.ndarray:
-    """VALID 1-D convolution via K strided slices + one contraction (im2col).
-
-    Used for the feature-extractor conv stack instead of lax.conv for two
-    reasons: (1) the contraction maps straight onto the MXU as a plain
-    matmul, which is what XLA lowers small-channel convs to on TPU anyway;
-    (2) it works around an XLA-CPU miscompile where a conv fused with
-    upstream producers returns a wrong LAST output frame for specific input
-    lengths (regression test: tests/test_conv_im2col.py).
-    """
+    """VALID 1-D convolution via K strided slices + one contraction
+    (im2col): the contraction maps onto the MXU as a plain matmul, and the
+    math is deterministic across platforms (see feature_conv1d)."""
     _, _, t = x.shape
     _, _, k = weight.shape
     t_out = (t - k) // stride + 1
