@@ -1,0 +1,91 @@
+"""BatchAligner vs per-utterance ForcedAligner equivalence: the bucketed,
+padded, masked batch path must produce the same words and boundaries as the
+single-utterance pipeline (padding-exactness end to end)."""
+
+import numpy as np
+import pytest
+
+from wav2vec2_tpu import AlignmentInput, ForcedAligner
+from wav2vec2_tpu.config import Wav2Vec2ModelConfig
+from wav2vec2_tpu.pipeline.defaults import (
+    CaseAwareTokenizer,
+    DefaultWordGrouper,
+    ViterbiSequenceAligner,
+)
+from wav2vec2_tpu.pipeline.model_runtime import JaxRuntimeBackend
+
+
+@pytest.fixture(scope="module")
+def setup():
+    import jax
+
+    from wav2vec2_tpu.models.params import init_params
+    from wav2vec2_tpu.parallel.batching import BatchAligner
+
+    cfg = Wav2Vec2ModelConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, conv_dim=[16, 16], conv_kernel=[10, 3],
+        conv_stride=[5, 2], num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4, pad_token_id=0, vocab_size=8,
+        feat_extract_norm="group", conv_bias=False,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    vocab = {"a": 1, "b": 2, "|": 3, "c": 4}
+
+    batch = BatchAligner(cfg, params, vocab, compute_dtype="float32",
+                         use_pallas=False)
+    backend = JaxRuntimeBackend(cfg, params, compute_dtype="float32",
+                                pad_multiple=500)
+    single = ForcedAligner(
+        runtime_backend=backend, vocab=vocab, blank_id=0, word_sep_id=3,
+        frame_stride_ms=cfg.frame_stride_ms(16000),
+        expected_sample_rate_hz=16000,
+        tokenizer=CaseAwareTokenizer(),
+        sequence_aligner=ViterbiSequenceAligner(),
+        word_grouper=DefaultWordGrouper(),
+    )
+    return batch, single
+
+
+def test_batch_matches_single(setup):
+    batch, single = setup
+    rng = np.random.default_rng(0)
+    lens = [4000, 2600, 3333]
+    audios = [rng.normal(size=n).astype(np.float32) for n in lens]
+    transcripts = ["ab ca", "ba", "ab ba ca"]
+
+    batch_out = batch.align_utterances(
+        audios, transcripts, audio_multiple=500, token_multiple=16, max_batch=8
+    )
+    for audio, transcript, got in zip(audios, transcripts, batch_out):
+        expected = single.align(AlignmentInput(16000, audio, transcript))
+        assert [w.word for w in got.words] == [w.word for w in expected.words]
+        for gw, ew in zip(got.words, expected.words):
+            assert gw.start_ms == ew.start_ms, (transcript, gw.word)
+            assert gw.end_ms == ew.end_ms, (transcript, gw.word)
+            assert gw.confidence == pytest.approx(ew.confidence, abs=1e-6)
+
+
+def test_batch_empty_and_active_mix(setup):
+    batch, _ = setup
+    rng = np.random.default_rng(1)
+    audios = [rng.normal(size=3000).astype(np.float32),
+              np.zeros(0, np.float32),
+              rng.normal(size=3000).astype(np.float32)]
+    outs = batch.align_utterances(audios, ["ab", "ab", "   "],
+                                  audio_multiple=500, token_multiple=16)
+    assert len(outs[0].words) > 0
+    assert outs[1].words == []
+    assert outs[2].words == []
+
+
+def test_presets_geometry():
+    from wav2vec2_tpu.models.presets import PRESETS
+
+    base = PRESETS["wav2vec2-base-960h"]()
+    assert base.hidden_size == 768 and not base.do_stable_layer_norm
+    assert base.frame_stride_ms(16000) == pytest.approx(20.0)
+    large = PRESETS["wav2vec2-large-960h-lv60"]()
+    assert large.hidden_size == 1024 and large.do_stable_layer_norm
+    xlsr = PRESETS["xlsr-53"](vocab_size=54)
+    assert xlsr.vocab_size == 54

@@ -1,0 +1,61 @@
+"""Model-family presets (the north-star configs, BASELINE.json):
+
+- wav2vec2-base-960h: post-norm encoder, GroupNorm feature extractor
+  (do_stable_layer_norm=False, feat_extract_norm="group", conv_bias=False);
+- wav2vec2-large-960h-lv60: pre-norm encoder, per-layer LayerNorm
+  (do_stable_layer_norm=True, feat_extract_norm="layer", conv_bias=True);
+- xlsr-53: large geometry, multilingual CTC vocab sizes vary per fine-tune.
+
+These mirror the HF config.json values the reference's loader reads
+(config.rs:30-76); `Wav2Vec2ModelConfig.load` on a real checkpoint dir is
+always authoritative — presets exist for tests, benchmarks, and random-init
+experiments.
+"""
+
+from __future__ import annotations
+
+from ..config import Wav2Vec2ModelConfig
+
+_CONV_7 = dict(
+    conv_kernel=[10, 3, 3, 3, 3, 2, 2],
+    conv_stride=[5, 2, 2, 2, 2, 2, 2],
+    num_conv_pos_embeddings=128,
+    num_conv_pos_embedding_groups=16,
+)
+
+
+def wav2vec2_base_960h(vocab_size: int = 32) -> Wav2Vec2ModelConfig:
+    return Wav2Vec2ModelConfig.from_dict(
+        dict(
+            hidden_size=768, num_hidden_layers=12, num_attention_heads=12,
+            intermediate_size=3072, conv_dim=[512] * 7, **_CONV_7,
+            pad_token_id=0, vocab_size=vocab_size,
+            do_stable_layer_norm=False, feat_extract_norm="group",
+            conv_bias=False,
+        )
+    )
+
+
+def wav2vec2_large_960h_lv60(vocab_size: int = 32) -> Wav2Vec2ModelConfig:
+    return Wav2Vec2ModelConfig.from_dict(
+        dict(
+            hidden_size=1024, num_hidden_layers=24, num_attention_heads=16,
+            intermediate_size=4096, conv_dim=[512] * 7, **_CONV_7,
+            pad_token_id=0, vocab_size=vocab_size,
+            do_stable_layer_norm=True, feat_extract_norm="layer",
+            conv_bias=True,
+        )
+    )
+
+
+def xlsr_53(vocab_size: int) -> Wav2Vec2ModelConfig:
+    """XLSR-53 fine-tunes share the -large geometry; vocab size depends on
+    the target language's CTC head."""
+    return wav2vec2_large_960h_lv60(vocab_size)
+
+
+PRESETS = {
+    "wav2vec2-base-960h": wav2vec2_base_960h,
+    "wav2vec2-large-960h-lv60": wav2vec2_large_960h_lv60,
+    "xlsr-53": xlsr_53,
+}
