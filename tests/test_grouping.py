@@ -274,45 +274,6 @@ def test_separator_flush_guard_blocks_partial_word():
     assert [w.word for w in words] == ["AB"]
 
 
-@pytest.mark.parametrize("seed", range(10))
-def test_collect_event_walk_matches_reference_loop(seed):
-    """Differential test: the vectorized event walk must reproduce the
-    straightforward per-step loop on random paths (incl. malformed ones that
-    trigger the separator flush guard)."""
-    from wav2vec2_tpu.align.grouping import path_to_words
-
-    rng = np.random.default_rng(seed)
-    # random blank-interleaved sequence for words from a 3-letter alphabet
-    letters = "abc"
-    vocab = {c: i + 2 for i, c in enumerate(letters)}
-    n_words = int(rng.integers(1, 5))
-    words = ["".join(rng.choice(list(letters), size=rng.integers(1, 4)))
-             for _ in range(n_words)]
-    from wav2vec2_tpu.align.tokenization import build_token_sequence_case_aware
-
-    seq = build_token_sequence_case_aware(" ".join(words), vocab, 0, 1)
-    s_len = len(seq.tokens)
-    t_len = int(rng.integers(s_len, 3 * s_len + 5))
-    # random monotone-ish path (may violate CTC rules → stresses the guard)
-    states = np.sort(rng.integers(0, s_len, size=t_len))
-    path = [(int(s), t) for t, s in enumerate(states)]
-    lp = rng.normal(size=(t_len, 8)).astype(np.float32)
-    ev = frame_evidence_from_log_probs(lp, seq.tokens, states, 0)
-
-    fast = path_to_words.collect(
-        path, seq.tokens, seq.chars, seq.normalized_words, ev, 0, 1
-    )
-    ref = path_to_words.collect_reference(
-        path, seq.tokens, seq.chars, seq.normalized_words, ev, 0, 1
-    )
-    assert [(w.word, w.start_frame, w.end_frame) for w in fast] == [
-        (w.word, w.start_frame, w.end_frame) for w in ref
-    ]
-    for a, b in zip(fast, ref):
-        assert a.confidence == b.confidence
-        assert a.confidence_stats == b.confidence_stats
-
-
 def test_calibration_knots_golden_values():
     from wav2vec2_tpu.align.grouping.confidence import calibrate_quality_confidence
 
