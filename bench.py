@@ -30,7 +30,11 @@ import numpy as np
 
 def main():
     import jax
-    import jax.numpy as jnp
+
+    from wav2vec2_tpu.utils.device import ensure_backend
+
+    platform = ensure_backend()
+    on_tpu = platform == "tpu"
 
     from wav2vec2_tpu.align.grouping import group_into_words
     from wav2vec2_tpu.align.grouping.path_to_words import FrameEvidence
@@ -60,7 +64,9 @@ def main():
     )
 
     rng = np.random.default_rng(0)
-    batch = 32
+    # shrink the workload off-TPU so the benchmark still completes (CPU
+    # fallback exists for robustness, not for representative numbers)
+    batch = 32 if on_tpu else 2
     audio_sec = 10.0
     n = int(audio_sec * 16000)
     s_pad = 256
@@ -107,10 +113,10 @@ def main():
             )
         return out
 
-    for _ in range(3):  # warmup: compile + tunnel steady state
+    for _ in range(3 if on_tpu else 1):  # warmup: compile + tunnel steady state
         outs = one_repeat()
 
-    repeats = 10
+    repeats = 10 if on_tpu else 2
     t0 = time.perf_counter()
     for _ in range(repeats):
         outs = one_repeat()

@@ -92,6 +92,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    default=_env("PERF_APPEND", "") == "1")
     p.add_argument("--perf-scaling-report", action="store_true",
                    default=_env("PERF_SCALING_REPORT", "") == "1")
+    p.add_argument("--jax-profile", default=_env("JAX_PROFILE"),
+                   help="directory for a jax profiler trace of the perf loop "
+                        "(the TPU analog of the reference's tier-2 profiling)")
     return p
 
 
@@ -265,6 +268,15 @@ def _run_perf(args, model_dir, model_cfg, dataset_root, cases) -> int:
         else (lambda v: perf_fmt.metric_stats(v).mean)
     )
 
+    profile_ctx = None
+    if args.jax_profile:
+        import contextlib
+
+        import jax as _jax
+
+        profile_ctx = contextlib.ExitStack()
+        profile_ctx.enter_context(_jax.profiler.trace(args.jax_profile))
+
     appender = (
         perf_fmt.PerfJsonlAppender(args.perf_out) if args.perf_append else None
     )
@@ -342,6 +354,11 @@ def _run_perf(args, model_dir, model_cfg, dataset_root, cases) -> int:
         if (idx + 1) % 10 == 0:
             print(f"[alignment_report] perf {idx + 1}/{len(cases)}",
                   file=sys.stderr)
+
+    if profile_ctx is not None:
+        profile_ctx.close()
+        print(f"[alignment_report] jax profiler trace written to "
+              f"{args.jax_profile}", file=sys.stderr)
 
     config = perf_fmt.PerfRunConfig(
         warmup=args.perf_warmup, repeats=args.perf_repeats,

@@ -174,6 +174,18 @@ def viterbi_pallas_batch(log_probs, tokens, t_lens, s_lens, interpret=False):
     return jax.vmap(fn)(log_probs, tokens, t_lens, s_lens)
 
 
+VMEM_BUDGET_BYTES = 12 * 1024 * 1024  # leave headroom below the ~16 MB VMEM
+
+
+def fits_vmem(t_len: int, s_len: int) -> bool:
+    """The kernel keeps the emission matrix + int32 backpointers resident in
+    VMEM: ~8 bytes per (t, s) cell after lane padding. Longer-form work
+    falls back to the lax.scan DP (bp lives in HBM there); kernel-side HBM
+    backpointer streaming is the planned lift for hour-scale audio."""
+    s_pad = _round_up(max(s_len, LANE), LANE)
+    return 8 * t_len * s_pad <= VMEM_BUDGET_BYTES
+
+
 def on_tpu() -> bool:
     try:
         return jax.devices()[0].platform == "tpu"

@@ -177,10 +177,14 @@ class BatchAligner:
             np.asarray(tokens, np.int32),
             np.asarray(s_lens, np.int32),
         )
+        from ..ops.viterbi_pallas import fits_vmem
+
+        t_pad = self.cfg.conv_output_length(int(audio.shape[1]))
+        use_pallas = self.use_pallas and fits_vmem(t_pad, int(tokens.shape[1]))
         return _batch_align_kernel(
             self.params, audio, audio_lens, tokens, s_lens,
             jnp.int32(self.blank_id), self.cfg, self.compute_dtype,
-            self.use_pallas, self.interpret, self.normalize_on_device,
+            use_pallas, self.interpret, self.normalize_on_device,
         )
 
     def align_padded_batch(self, audio, audio_lens, tokens, s_lens):

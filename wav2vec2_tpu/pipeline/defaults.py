@@ -57,9 +57,11 @@ class ViterbiSequenceAligner:
         if not hasattr(lp, "device"):  # host numpy input
             lp = jnp.asarray(lp, dtype=jnp.float32)
         if backend == "device":
-            from ..ops.viterbi_pallas import on_tpu
+            from ..ops.viterbi_pallas import fits_vmem, on_tpu
 
-            backend = "pallas" if on_tpu() else "scan"
+            backend = (
+                "pallas" if on_tpu() and fits_vmem(t_len, s_len) else "scan"
+            )
         if backend == "pallas":
             from ..ops.viterbi_pallas import on_tpu, viterbi_pallas_single
 
