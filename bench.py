@@ -93,7 +93,7 @@ def main():
     def one_repeat():
         """One full alignment pass: device kernel + result readback + host
         grouping. Returns the word lists."""
-        paths, t_lens, emit, margin, blank = jax.device_get(
+        paths, t_lens, emit, margin, blank, entropy = jax.device_get(
             aligner.submit_padded_batch(dev_audio, dev_a_l, dev_tokens, dev_s_l)
         )
         out = []

@@ -60,10 +60,13 @@ def frame_evidence_from_log_probs(
     else:
         margin = np.zeros(t_len, dtype=np.float32)
     blank_prob = np.exp(lp[:, blank_id]).astype(np.float64)
+    probs = np.exp(lp)
+    entropy = (-(probs * lp).sum(axis=1)).astype(np.float32)
     return FrameEvidence(
         emit_lp=emit_lp.astype(np.float32),
         margin=margin.astype(np.float32),
         blank_prob=blank_prob,
+        entropy=entropy,
     )
 
 

@@ -45,6 +45,7 @@ class FrameEvidence:
     emit_lp: np.ndarray
     margin: np.ndarray
     blank_prob: np.ndarray
+    entropy: Optional[np.ndarray] = None  # per-frame token entropy (nats)
 
     @property
     def t_len(self) -> int:

@@ -233,7 +233,11 @@ def compute_sentence_report(
     predicted: Sequence[WordTiming],
     reference: Optional[Sequence[ReferenceWord]],
     duration_ms: int,
+    frame_stats=None,
 ) -> SentenceReport:
+    """`frame_stats` (types.UtteranceFrameStats) fills the
+    blank_frame_ratio / token_entropy_mean fields the reference declares but
+    never computes (report.rs ConfidenceMetrics placeholders)."""
     notes: list[str] = []
     reference_words = reference if reference is not None else []
     has_reference = reference is not None
@@ -251,6 +255,9 @@ def compute_sentence_report(
             f"invalid_confidence_words={structural.invalid_confidence_word_count}"
         )
     confidence = _confidence_metrics(predicted)
+    if frame_stats is not None and confidence is not None:
+        confidence.blank_frame_ratio = frame_stats.blank_frame_ratio
+        confidence.token_entropy_mean = frame_stats.token_entropy_mean
 
     timing = None
     word_abs_errors: list[float] = []

@@ -222,7 +222,10 @@ def run(argv=None) -> int:
         split = infer_split(c.audio_path)
         reference = c.reference_words if c.has_reference else None
         sentences.append(
-            compute_sentence_report(c.id, split, out.words, reference, dur)
+            compute_sentence_report(
+                c.id, split, out.words, reference, dur,
+                frame_stats=out.frame_stats,
+            )
         )
         predicted_by_id[c.id] = out.words
         if reference is not None:

@@ -32,7 +32,12 @@ def _evidence_kernel(log_probs, tokens, path, blank_id):
         jnp.isfinite(top2).all(axis=1), top2[:, 0] - top2[:, 1], jnp.float32(0.0)
     )
     blank_prob = jnp.exp(log_probs[:, blank_id])
-    return emit_lp, margin, blank_prob
+    # per-frame token entropy (nats) — feeds the report's token_entropy_mean,
+    # a field the reference declares but never fills (report.rs blank/entropy
+    # placeholders)
+    probs = jnp.exp(log_probs)
+    entropy = -jnp.sum(probs * log_probs, axis=1)
+    return emit_lp, margin, blank_prob, entropy
 
 
 def compute_frame_evidence_device(
@@ -44,11 +49,12 @@ def compute_frame_evidence_device(
 ) -> FrameEvidence:
     """log_probs [T_pad, V] (device), tokens [S_pad] int32, path [T_pad]
     int32 → host FrameEvidence sliced to t_len."""
-    emit_lp, margin, blank_prob = _evidence_kernel(
+    emit_lp, margin, blank_prob, entropy = _evidence_kernel(
         log_probs, tokens, path, jnp.int32(blank_id)
     )
     return FrameEvidence(
         emit_lp=np.asarray(emit_lp)[:t_len],
         margin=np.asarray(margin)[:t_len],
         blank_prob=np.asarray(blank_prob)[:t_len].astype(np.float64),
+        entropy=np.asarray(entropy)[:t_len],
     )

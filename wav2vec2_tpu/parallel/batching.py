@@ -89,7 +89,8 @@ def _evidence_batch(log_probs, tokens, paths, blank_id):
         jnp.isfinite(top2).all(axis=-1), top2[..., 0] - top2[..., 1], jnp.float32(0.0)
     )
     blank_prob = jnp.exp(log_probs[:, :, blank_id])
-    return emit_lp, margin, blank_prob
+    entropy = -jnp.sum(jnp.exp(log_probs) * log_probs, axis=-1)
+    return emit_lp, margin, blank_prob, entropy
 
 
 @functools.partial(
@@ -114,8 +115,10 @@ def _batch_align_kernel(
     else:
         from ..ops.viterbi_ref import viterbi_single as vit
     paths = jax.vmap(vit)(log_probs, tokens, t_lens, s_lens)
-    emit_lp, margin, blank_prob = _evidence_batch(log_probs, tokens, paths, blank_id)
-    return paths, t_lens, emit_lp, margin, blank_prob
+    emit_lp, margin, blank_prob, entropy = _evidence_batch(
+        log_probs, tokens, paths, blank_id
+    )
+    return paths, t_lens, emit_lp, margin, blank_prob, entropy
 
 
 class BatchAligner:
@@ -190,7 +193,7 @@ class BatchAligner:
     def align_padded_batch(self, audio, audio_lens, tokens, s_lens):
         """audio [B, N_pad] (pre-normalized f32, or raw when
         normalize_on_device), tokens [B, S_pad] int32. Returns host tuples
-        (paths, t_lens, emit_lp, margin, blank_prob)."""
+        (paths, t_lens, emit_lp, margin, blank_prob, entropy)."""
         out = self.submit_padded_batch(audio, audio_lens, tokens, s_lens)
         return tuple(np.asarray(x) for x in out)
 
@@ -267,7 +270,9 @@ class BatchAligner:
             return self.submit_padded_batch(audio, a_l, tokens, s_l)
 
         def drain(bucket: Bucket, handles: tuple):
-            paths, t_lens, emit_lp, margin, blank_prob = (
+            from ..pipeline.runtime import _utterance_frame_stats
+
+            paths, t_lens, emit_lp, margin, blank_prob, entropy = (
                 np.asarray(h) for h in handles
             )
             for j, i in enumerate(bucket.indices):
@@ -276,13 +281,17 @@ class BatchAligner:
                     emit_lp=emit_lp[j, :t_i],
                     margin=margin[j, :t_i],
                     blank_prob=blank_prob[j, :t_i].astype(np.float64),
+                    entropy=entropy[j, :t_i],
                 )
                 path = [(int(s), t) for t, s in enumerate(paths[j, :t_i])]
                 words = group_into_words(
                     path, seqs[i].tokens, seqs[i].chars, seqs[i].normalized_words,
                     ev, self.blank_id, self.word_sep_id, self.stride_ms, self.hp,
                 )
-                outputs[i] = AlignmentOutput(words=words)
+                stats = _utterance_frame_stats(
+                    paths[j, :t_i], seqs[i].tokens, self.blank_id, ev
+                )
+                outputs[i] = AlignmentOutput(words=words, frame_stats=stats)
 
         for bucket in buckets:
             in_flight.append((bucket, submit(bucket)))

@@ -65,6 +65,24 @@ def normalize_audio(samples: np.ndarray) -> np.ndarray:
     return ((xd - mean) / std).astype(np.float32)
 
 
+def _utterance_frame_stats(path_states, tokens, blank_id, evidence):
+    from ..types import UtteranceFrameStats
+
+    states = np.asarray(path_states)
+    if states.size == 0:
+        return None
+    tok = np.asarray(tokens)
+    blank_ratio = float(np.mean(tok[states] == blank_id))
+    entropy_mean = (
+        float(np.asarray(evidence.entropy, dtype=np.float64).mean())
+        if evidence.entropy is not None and len(evidence.entropy)
+        else None
+    )
+    return UtteranceFrameStats(
+        blank_frame_ratio=blank_ratio, token_entropy_mean=entropy_mean
+    )
+
+
 class ForcedAligner:
     def __init__(
         self,
@@ -135,7 +153,14 @@ class ForcedAligner:
         )
         evidence = self._frame_evidence(forward_output, token_sequence, path_states)
         grouped = self._group(path_states, token_sequence, evidence)
-        return AlignmentOutput(words=grouped.words), grouped, token_sequence
+        stats = _utterance_frame_stats(
+            path_states, token_sequence.tokens, self.blank_id, evidence
+        )
+        return (
+            AlignmentOutput(words=grouped.words, frame_stats=stats),
+            grouped,
+            token_sequence,
+        )
 
     def _group(self, path_states, token_sequence, evidence):
         """Route through the injected WordGrouper; the default grouper
@@ -219,9 +244,12 @@ class ForcedAligner:
         # residual (tokenization, evidence fetch) folds into group_ms so
         # dp + conf + group == align_ms exactly (runtime.rs:274-279)
         group_ms = align_ms - dp_ms - conf_ms
+        stats = _utterance_frame_stats(
+            path_states, token_sequence.tokens, self.blank_id, evidence
+        )
 
         return ProfiledAlignmentOutput(
-            output=AlignmentOutput(words=grouped.words),
+            output=AlignmentOutput(words=grouped.words, frame_stats=stats),
             timings=AlignmentStageTimings(
                 forward_ms=forward_output.forward_ms,
                 post_ms=forward_output.post_ms,
@@ -296,9 +324,12 @@ class ForcedAligner:
         total_ms = (time.perf_counter() - t_total0) * 1000.0
         conf_ms = grouped.conf_ms
         group_ms = align_ms - dp_ms - conf_ms
+        stats = _utterance_frame_stats(
+            path_states, token_sequence.tokens, self.blank_id, evidence
+        )
 
         profiled = ProfiledAlignmentOutput(
-            output=AlignmentOutput(words=grouped.words),
+            output=AlignmentOutput(words=grouped.words, frame_stats=stats),
             timings=AlignmentStageTimings(
                 forward_ms=forward_output.forward_ms,
                 post_ms=forward_output.post_ms,

@@ -55,8 +55,19 @@ class WordTiming:
 
 
 @dataclass
+class UtteranceFrameStats:
+    """Utterance-level frame statistics the reference's report declares but
+    never fills (ConfidenceMetrics.blank_frame_ratio / token_entropy_mean,
+    report.rs:84-86) — computed on device here."""
+
+    blank_frame_ratio: Optional[float] = None
+    token_entropy_mean: Optional[float] = None
+
+
+@dataclass
 class AlignmentOutput:
     words: list[WordTiming] = field(default_factory=list)
+    frame_stats: Optional[UtteranceFrameStats] = None
 
 
 @dataclass
