@@ -1,0 +1,92 @@
+"""CTC training path tests: loss decreases on a tiny task, and the sharded
+train step runs on an 8-device DP×TP mesh (the dryrun contract)."""
+
+import numpy as np
+import pytest
+
+from wav2vec2_tpu.config import Wav2Vec2ModelConfig
+
+CFG = Wav2Vec2ModelConfig(
+    hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+    intermediate_size=64, conv_dim=[16, 16], conv_kernel=[10, 3],
+    conv_stride=[5, 2], num_conv_pos_embeddings=16,
+    num_conv_pos_embedding_groups=4, pad_token_id=0, vocab_size=16,
+    feat_extract_norm="group", conv_bias=False,
+)
+
+
+def make_batch(rng, b=4, n=800, l=6):
+    audio = rng.normal(size=(b, n)).astype(np.float32)
+    audio_lens = np.full(b, n, np.int32)
+    labels = rng.integers(1, CFG.vocab_size, size=(b, l)).astype(np.int32)
+    label_lens = np.full(b, l, np.int32)
+    return audio, audio_lens, labels, label_lens
+
+
+def test_ctc_loss_decreases():
+    import jax
+    import jax.numpy as jnp
+
+    from wav2vec2_tpu.models.params import init_params
+    from wav2vec2_tpu.parallel.train import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    params = init_params(CFG, jax.random.PRNGKey(0))
+    tx = make_optimizer(learning_rate=3e-3)
+    state = init_train_state(params, tx)
+    step = make_train_step(CFG, tx, compute_dtype=jnp.float32)
+
+    rng = np.random.default_rng(0)
+    batch = make_batch(rng)
+    losses = []
+    for _ in range(8):
+        state, loss = step(state, *batch)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+
+def test_train_step_sharded_8_devices():
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import jax.numpy as jnp
+
+    from wav2vec2_tpu.models.params import init_params
+    from wav2vec2_tpu.parallel.mesh import batch_sharding, make_mesh, shard_params
+    from wav2vec2_tpu.parallel.train import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    mesh = make_mesh(8, model=2)
+    params = shard_params(init_params(CFG, jax.random.PRNGKey(0)), mesh)
+    # TP shards exist: q kernel sharded over 'model' on the output axis
+    qk = params["encoder"]["layers"]["attention"]["q_proj"]["kernel"]
+    assert "model" in str(qk.sharding)
+
+    tx = make_optimizer()
+    state = init_train_state(params, tx)
+    step = make_train_step(CFG, tx, mesh=mesh, compute_dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    audio, audio_lens, labels, label_lens = make_batch(rng, b=8)
+    bs = batch_sharding(mesh)
+    with mesh:
+        state, loss = step(
+            state,
+            jax.device_put(audio, bs),
+            jax.device_put(audio_lens, bs),
+            jax.device_put(labels, bs),
+            jax.device_put(label_lens, bs),
+        )
+    assert np.isfinite(float(loss))
+    assert int(state.step) == 1
+    # params keep their TP sharding through the update
+    qk2 = state.params["encoder"]["layers"]["attention"]["q_proj"]["kernel"]
+    assert "model" in str(qk2.sharding)

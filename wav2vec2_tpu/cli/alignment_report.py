@@ -165,7 +165,9 @@ def run(argv=None) -> int:
     t_start = time.perf_counter()
 
     from ..utils.device import ensure_backend
+    from ..utils.tracing import configure_logging
 
+    configure_logging()
     platform = ensure_backend()
     print(f"[alignment_report] jax platform: {platform}", file=sys.stderr)
 
