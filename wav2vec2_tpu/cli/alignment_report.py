@@ -77,6 +77,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
         choices=["json", "textgrid", "perf"],
     )
     p.add_argument("--textgrid-suffix", default=_env("TEXTGRID_SUFFIX", ""))
+    p.add_argument("--no-overwrite", action="store_true",
+                   default=_env("NO_OVERWRITE", "") == "1",
+                   help="skip cases whose TextGrid output already exists "
+                        "(operational resume, like the python reference's "
+                        "--no-overwrite)")
     p.add_argument(
         "--batch", action=argparse.BooleanOptionalAction, default=True,
         help="bucketed batch alignment for json/textgrid modes",
@@ -180,6 +185,22 @@ def run(argv=None) -> int:
     if args.output_format == "perf":
         return _run_perf(args, model_dir, model_cfg, dataset_root, cases)
 
+    if args.output_format == "textgrid" and args.no_overwrite:
+        # operational resume: drop cases whose output already exists BEFORE
+        # aligning (python reference --no-overwrite behavior)
+        def _exists(c):
+            ap = dataset_root / c.audio_path
+            return ap.with_name(f"{ap.stem}{args.textgrid_suffix}.TextGrid").exists()
+
+        skipped = [c for c in cases if _exists(c)]
+        cases = [c for c in cases if not _exists(c)]
+        if skipped:
+            print(f"[alignment_report] skipping {len(skipped)} existing "
+                  f"TextGrid outputs", file=sys.stderr)
+        if not cases:
+            print("[alignment_report] nothing to do", file=sys.stderr)
+            return 0
+
     # load audio
     audios = []
     durations_ms = []
@@ -207,12 +228,20 @@ def run(argv=None) -> int:
                 print(f"[alignment_report] {i + 1}/{len(cases)}", file=sys.stderr)
 
     if args.output_format == "textgrid":
+        written = 0
         for c, out, dur in zip(cases, outputs, durations_ms):
+            audio_path = dataset_root / c.audio_path
+            out_path = audio_path.with_name(
+                f"{audio_path.stem}{args.textgrid_suffix}.TextGrid"
+            )
+            if args.no_overwrite and out_path.exists():
+                continue
             write_textgrid(
-                dataset_root / c.audio_path, c.transcript, out.words, dur,
+                audio_path, c.transcript, out.words, dur,
                 suffix=args.textgrid_suffix,
             )
-        print(f"[alignment_report] wrote {len(cases)} TextGrid files "
+            written += 1
+        print(f"[alignment_report] wrote {written} TextGrid files "
               f"in {time.perf_counter() - t_start:.1f}s", file=sys.stderr)
         return 0
 
