@@ -72,3 +72,42 @@ def test_pallas_repeated_tokens_no_illegal_skip():
     rng = np.random.default_rng(3)
     lp = rng.normal(size=(12, 3)).astype(np.float32)
     assert viterbi_pallas_host(lp, tokens) == viterbi_numpy(lp, tokens)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_hbm_kernel_matches_numpy(seed):
+    """Long-form (HBM-streamed backpointer) kernel — same oracle contract."""
+    from wav2vec2_tpu.ops.viterbi_pallas import viterbi_pallas_single_hbm
+
+    rng = np.random.default_rng(200 + seed)
+    t_len = int(rng.integers(3, 60))
+    vocab = int(rng.integers(4, 12))
+    s_len = int(rng.integers(1, min(2 * t_len, 24)))
+    tokens = rng.integers(0, vocab, size=s_len)
+    lp = rng.normal(size=(t_len, vocab)).astype(np.float32)
+    path = viterbi_pallas_single_hbm(
+        jnp.asarray(lp), jnp.asarray(tokens, jnp.int32),
+        jnp.int32(t_len), jnp.int32(s_len), interpret=INTERPRET,
+    )
+    ref = viterbi_numpy(lp, tokens)
+    assert [s for s, _ in ref] == list(np.asarray(path)[:t_len])
+
+
+def test_hbm_kernel_padded_matches(seed=0):
+    from wav2vec2_tpu.ops.viterbi_pallas import viterbi_pallas_single_hbm
+
+    rng = np.random.default_rng(42)
+    t_len, vocab, s_len = 23, 8, 9
+    tokens = rng.integers(0, vocab, size=s_len)
+    lp = rng.normal(size=(t_len, vocab)).astype(np.float32)
+    t_pad = t_len + 10
+    lp_padded = np.zeros((t_pad, vocab), np.float32)
+    lp_padded[:t_len] = lp
+    tok_padded = np.zeros(s_len + 5, np.int64)
+    tok_padded[:s_len] = tokens
+    path = viterbi_pallas_single_hbm(
+        jnp.asarray(lp_padded), jnp.asarray(tok_padded, jnp.int32),
+        jnp.int32(t_len), jnp.int32(s_len), interpret=INTERPRET,
+    )
+    ref = viterbi_numpy(lp, tokens)
+    assert [s for s, _ in ref] == list(np.asarray(path)[:t_len])

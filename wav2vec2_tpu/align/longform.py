@@ -56,17 +56,17 @@ def stitch_log_probs(
     v = chunk_log_probs[0].shape[1]
     out = np.zeros((total_frames, v), np.float32)
     best_depth = np.full(total_frames, -1, np.int64)
-    for lp, (s0, s1) in zip(chunk_log_probs, spans):
+    for lp, (s0, _) in zip(chunk_log_probs, spans):
         f0 = s0 // stride
         n_f = lp.shape[0]
-        for local in range(n_f):
-            g = f0 + local
-            if g >= total_frames:
-                break
-            depth = min(local, n_f - 1 - local)
-            if depth > best_depth[g]:
-                best_depth[g] = depth
-                out[g] = lp[local]
+        count = min(n_f, total_frames - f0)
+        if count <= 0:
+            continue
+        local = np.arange(count)
+        depth = np.minimum(local, n_f - 1 - local)
+        sel = depth > best_depth[f0 : f0 + count]
+        best_depth[f0 : f0 + count][sel] = depth[sel]
+        out[f0 : f0 + count][sel] = lp[:count][sel]
     return out
 
 
@@ -86,6 +86,8 @@ def align_longform(
     import jax.numpy as jnp
 
     from ..models.ctc_model import log_softmax_logits, make_forward_fn
+    from ..ops.viterbi_pallas import fits_vmem, on_tpu
+    from ..ops.viterbi_pallas import viterbi_pallas_single, viterbi_pallas_single_hbm
     from ..ops.viterbi_ref import viterbi_single
     from ..pipeline.runtime import normalize_audio
 
@@ -131,12 +133,19 @@ def align_longform(
         return AlignmentOutput(words=[])
 
     t_len = log_probs.shape[0]
+    s_len = len(seq.tokens)
+    if not on_tpu():
+        vit = viterbi_single
+    elif fits_vmem(t_len, s_len):
+        vit = viterbi_pallas_single
+    else:
+        vit = viterbi_pallas_single_hbm  # hour-scale: bp streamed via HBM
     path = np.asarray(
-        viterbi_single(
+        vit(
             jnp.asarray(log_probs),
             jnp.asarray(seq.tokens, jnp.int32),
             jnp.int32(t_len),
-            jnp.int32(len(seq.tokens)),
+            jnp.int32(s_len),
         )
     )[:t_len]
     evidence = frame_evidence_from_log_probs(log_probs, seq.tokens, path, blank_id)

@@ -59,13 +59,24 @@ class ViterbiSequenceAligner:
         if backend == "device":
             from ..ops.viterbi_pallas import fits_vmem, on_tpu
 
-            backend = (
-                "pallas" if on_tpu() and fits_vmem(t_len, s_len) else "scan"
+            if not on_tpu():
+                backend = "scan"
+            elif fits_vmem(t_len, s_len):
+                backend = "pallas"
+            else:
+                backend = "pallas-hbm"  # long-form: bp streamed through HBM
+        if backend in ("pallas", "pallas-hbm"):
+            from ..ops.viterbi_pallas import (
+                on_tpu,
+                viterbi_pallas_single,
+                viterbi_pallas_single_hbm,
             )
-        if backend == "pallas":
-            from ..ops.viterbi_pallas import on_tpu, viterbi_pallas_single
 
-            path = viterbi_pallas_single(
+            kernel = (
+                viterbi_pallas_single if backend == "pallas"
+                else viterbi_pallas_single_hbm
+            )
+            path = kernel(
                 lp,
                 jnp.asarray(tokens, dtype=jnp.int32),
                 jnp.int32(t_len),
