@@ -89,3 +89,47 @@ def test_presets_geometry():
     assert large.hidden_size == 1024 and large.do_stable_layer_norm
     xlsr = PRESETS["xlsr-53"](vocab_size=54)
     assert xlsr.vocab_size == 54
+
+
+def test_batch_aligner_sharded_over_mesh(setup):
+    """Data-parallel serving: BatchAligner with an 8-device mesh must produce
+    the same words as the unsharded path (XLA inserts the collectives)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import jax.numpy as jnp  # noqa: F401
+
+    from wav2vec2_tpu.config import Wav2Vec2ModelConfig
+    from wav2vec2_tpu.models.params import init_params
+    from wav2vec2_tpu.parallel.batching import BatchAligner
+    from wav2vec2_tpu.parallel.mesh import make_mesh, replicated
+
+    cfg = Wav2Vec2ModelConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, conv_dim=[16, 16], conv_kernel=[10, 3],
+        conv_stride=[5, 2], num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4, pad_token_id=0, vocab_size=8,
+        feat_extract_norm="group", conv_bias=False,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    vocab = {"a": 1, "b": 2, "|": 3, "c": 4}
+
+    mesh = make_mesh(8, model=1)  # pure data parallel for serving
+    sharded_params = jax.device_put(params, replicated(mesh))
+    plain = BatchAligner(cfg, params, vocab, compute_dtype="float32",
+                         use_pallas=False)
+    sharded = BatchAligner(cfg, sharded_params, vocab, compute_dtype="float32",
+                           use_pallas=False, mesh=mesh)
+
+    rng = np.random.default_rng(0)
+    audios = [rng.normal(size=3000).astype(np.float32) for _ in range(8)]
+    transcripts = ["ab ca", "ba", "ab", "ca ab", "ab ba", "ca", "ba ab", "ab ca ba"]
+    out_plain = plain.align_utterances(audios, transcripts,
+                                       audio_multiple=500, token_multiple=16)
+    out_sharded = sharded.align_utterances(audios, transcripts,
+                                           audio_multiple=500, token_multiple=16)
+    for a, b in zip(out_plain, out_sharded):
+        assert [w.word for w in a.words] == [w.word for w in b.words]
+        for wa, wb in zip(a.words, b.words):
+            assert wa.start_ms == wb.start_ms and wa.end_ms == wb.end_ms

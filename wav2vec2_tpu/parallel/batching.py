@@ -173,12 +173,24 @@ class BatchAligner:
 
     def submit_padded_batch(self, audio, audio_lens, tokens, s_lens):
         """Enqueue one padded batch; returns DEVICE handles without blocking
-        (uploads and kernels run async — the double-buffering lever)."""
+        (uploads and kernels run async — the double-buffering lever). With a
+        mesh, the batch dim is padded to a multiple of the 'data' axis size
+        (rows are replicated; callers index only their real rows)."""
+        audio = np.ascontiguousarray(audio)
+        audio_lens = np.asarray(audio_lens, np.int32)
+        tokens = np.asarray(tokens, np.int32)
+        s_lens = np.asarray(s_lens, np.int32)
+        if self.mesh is not None:
+            data_size = self.mesh.shape.get("data", 1)
+            b = audio.shape[0]
+            pad = (-b) % data_size
+            if pad:
+                audio = np.concatenate([audio, np.repeat(audio[-1:], pad, 0)])
+                audio_lens = np.concatenate([audio_lens, np.repeat(audio_lens[-1:], pad)])
+                tokens = np.concatenate([tokens, np.repeat(tokens[-1:], pad, 0)])
+                s_lens = np.concatenate([s_lens, np.repeat(s_lens[-1:], pad)])
         audio, audio_lens, tokens, s_lens = self._device_put_batch(
-            np.ascontiguousarray(audio),
-            np.asarray(audio_lens, np.int32),
-            np.asarray(tokens, np.int32),
-            np.asarray(s_lens, np.int32),
+            audio, audio_lens, tokens, s_lens
         )
         from ..ops.viterbi_pallas import fits_vmem
 
