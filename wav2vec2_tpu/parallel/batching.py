@@ -176,11 +176,15 @@ class BatchAligner:
         (uploads and kernels run async — the double-buffering lever). With a
         mesh, the batch dim is padded to a multiple of the 'data' axis size
         (rows are replicated; callers index only their real rows)."""
-        audio = np.ascontiguousarray(audio)
-        audio_lens = np.asarray(audio_lens, np.int32)
-        tokens = np.asarray(tokens, np.int32)
-        s_lens = np.asarray(s_lens, np.int32)
-        if self.mesh is not None:
+        on_device = hasattr(audio, "block_until_ready")
+        if not on_device:
+            # host staging; device-resident inputs (pre-staged by callers)
+            # must NOT round-trip through numpy
+            audio = np.ascontiguousarray(audio)
+            audio_lens = np.asarray(audio_lens, np.int32)
+            tokens = np.asarray(tokens, np.int32)
+            s_lens = np.asarray(s_lens, np.int32)
+        if not on_device and self.mesh is not None:
             data_size = self.mesh.shape.get("data", 1)
             b = audio.shape[0]
             pad = (-b) % data_size
