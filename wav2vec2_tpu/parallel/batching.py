@@ -24,7 +24,7 @@ from ..align.grouping.path_to_words import FrameEvidence
 from ..align.tokenization import build_token_sequence_case_aware
 from ..config import AlignerHyperParams, Wav2Vec2ModelConfig
 from ..models.ctc_model import frame_lengths, log_softmax_logits, wav2vec2_forward, _freeze_cfg
-from ..types import AlignmentOutput, WordTiming
+from ..types import AlignmentOutput
 
 
 def _round_up(x: int, m: int) -> int:

@@ -11,7 +11,6 @@ sequence/batch grow.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 from typing import Any
 
