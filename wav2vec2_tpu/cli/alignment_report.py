@@ -201,13 +201,17 @@ def run(argv=None) -> int:
             print("[alignment_report] nothing to do", file=sys.stderr)
             return 0
 
-    # load audio
-    audios = []
-    durations_ms = []
-    for c in cases:
+    # load audio (parallel: the native FLAC decoder releases the GIL)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _load(c):
         samples, rate = read_audio_mono(dataset_root / c.audio_path)
-        audios.append(samples)
-        durations_ms.append(int(len(samples) / rate * 1000))
+        return samples, int(len(samples) / rate * 1000)
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        loaded = list(pool.map(_load, cases))
+    audios = [a for a, _ in loaded]
+    durations_ms = [d for _, d in loaded]
 
     if args.batch:
         from ..models.params import load_safetensors_params
