@@ -134,5 +134,20 @@ def main():
     }))
 
 
+def _main_with_retry():
+    # the TPU tunnel occasionally drops a worker; one retry covers it so the
+    # benchmark record is never silently missing
+    try:
+        main()
+    except Exception as e:
+        import sys
+        import time
+
+        print(f"bench attempt 1 failed ({type(e).__name__}: {e}); retrying",
+              file=sys.stderr)
+        time.sleep(30)
+        main()
+
+
 if __name__ == "__main__":
-    main()
+    _main_with_retry()

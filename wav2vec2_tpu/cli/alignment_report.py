@@ -169,10 +169,11 @@ def run(argv=None) -> int:
     args = build_arg_parser().parse_args(argv)
     t_start = time.perf_counter()
 
-    from ..utils.device import ensure_backend
+    from ..utils.device import enable_compilation_cache, ensure_backend
     from ..utils.tracing import configure_logging
 
     configure_logging()
+    enable_compilation_cache()
     platform = ensure_backend()
     print(f"[alignment_report] jax platform: {platform}", file=sys.stderr)
 

@@ -16,6 +16,25 @@ logger = logging.getLogger(__name__)
 _checked = False
 
 
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Enable JAX's persistent compilation cache — first-run CLI compiles
+    (one per bucket shape, 30-250 s each over this TPU's remote-compile
+    tunnel) become one-time costs across processes."""
+    import os
+
+    import jax
+
+    cache_dir = path or os.environ.get(
+        "WAV2VEC2_TPU_JAX_CACHE",
+        os.path.expanduser("~/.cache/wav2vec2_tpu/jax_cache"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # cache is an optimization, never fatal
+        logger.debug("compilation cache unavailable: %s", e)
+
+
 def ensure_backend() -> str:
     """Initialize the JAX backend, falling back to CPU if the configured
     platform fails. Returns the active platform name."""
