@@ -187,3 +187,34 @@ def test_prenormalized_input_skips_normalization(model_dir):
     pre = np.linspace(-1, 1, 100).astype(np.float32)
     aligner.align(AlignmentInput(16000, np.ones(100, np.float32), "a", normalized=pre))
     np.testing.assert_array_equal(backend.seen, pre)
+
+
+def test_concurrent_align_thread_safety(model_dir):
+    """Two threads aligning through the same ForcedAligner concurrently —
+    the reference's shared-state story is a Mutex'd session + OnceLock
+    contexts (SURVEY §5 race detection); here jit dispatch is thread-safe
+    and the pipeline is stateless per call."""
+    import threading
+
+    tokens = [0, 2, 0, 3, 0]
+    lp = planted_log_probs(tokens)
+    aligner = build_aligner(model_dir, MockBackend(lp))
+    results = [None] * 8
+    errors = []
+
+    def work(i):
+        try:
+            out = aligner.align(
+                AlignmentInput(16000, np.ones(1000, np.float32), "ab")
+            )
+            results[i] = [w.word for w in out.words]
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=work, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert all(r == ["ab"] for r in results)
