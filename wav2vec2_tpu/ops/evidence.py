@@ -49,12 +49,13 @@ def compute_frame_evidence_device(
 ) -> FrameEvidence:
     """log_probs [T_pad, V] (device), tokens [S_pad] int32, path [T_pad]
     int32 → host FrameEvidence sliced to t_len."""
-    emit_lp, margin, blank_prob, entropy = _evidence_kernel(
-        log_probs, tokens, path, jnp.int32(blank_id)
+    # single device_get: one host round-trip for all four vectors
+    emit_lp, margin, blank_prob, entropy = jax.device_get(
+        _evidence_kernel(log_probs, tokens, path, jnp.int32(blank_id))
     )
     return FrameEvidence(
-        emit_lp=np.asarray(emit_lp)[:t_len],
-        margin=np.asarray(margin)[:t_len],
-        blank_prob=np.asarray(blank_prob)[:t_len].astype(np.float64),
-        entropy=np.asarray(entropy)[:t_len],
+        emit_lp=emit_lp[:t_len],
+        margin=margin[:t_len],
+        blank_prob=blank_prob[:t_len].astype(np.float64),
+        entropy=entropy[:t_len],
     )
