@@ -50,7 +50,7 @@ def _roll(row, k):
         return jnp.roll(row, k, axis=1)
 
 
-def _viterbi_kernel(tlen_ref, slen_ref, emit_ref, tokneq_ref, path_ref, bp_ref):
+def _viterbi_kernel_resident(tlen_ref, slen_ref, emit_ref, tokneq_ref, path_ref, bp_ref):
     t_pad, s_pad = emit_ref.shape
     t_len = tlen_ref[0, 0]
     s_len = slen_ref[0, 0]
@@ -128,6 +128,180 @@ def _viterbi_kernel(tlen_ref, slen_ref, emit_ref, tokneq_ref, path_ref, bp_ref):
     path_ref[:] = path_row
 
 
+def _make_blocked_kernel(bp_in_vmem: bool):
+    """Banded-Viterbi kernel factory.
+
+    Emission rows always stream from HBM through a double-buffered VMEM
+    window in 8-row blocks (TPU tiling requires 8-sublane-aligned slices;
+    blocking amortizes DMA overhead). Backpointers live either in a VMEM
+    scratch (fast path — one int32 per cell is the only VMEM cost) or in an
+    HBM buffer written back block-by-block (long-form path, unbounded T·S —
+    the analog of the reference CUDA kernel keeping bp in global memory,
+    viterbi.cu:58-157). DP semantics identical to viterbi_ref (band,
+    tie-breaking, final-state rule — viterbi.rs:50-156); equivalence tests
+    assert bit-identical paths vs the numpy oracle.
+    """
+
+    def kernel(tlen_ref, slen_ref, emit_hbm, tokneq_ref, path_ref, *rest):
+        if bp_in_vmem:
+            bp_ref, emit_buf, sem_in = rest
+        else:
+            bp_hbm, emit_buf, bp_buf, sem_in, sem_out, sem_bt = rest
+        t_pad, s_pad = emit_hbm.shape
+        n_blocks = t_pad // 8
+        t_len = tlen_ref[0, 0]
+        s_len = slen_ref[0, 0]
+        s_idx = jax.lax.broadcasted_iota(jnp.int32, (1, s_pad), 1)
+        neg = jnp.float32(-jnp.inf)
+
+        def fetch_block(b, slot):
+            return pltpu.make_async_copy(
+                emit_hbm.at[pl.ds(pl.multiple_of(b * 8, 8), 8), :],
+                emit_buf.at[slot],
+                sem_in.at[slot],
+            )
+
+        fetch_block(0, 0).start()
+
+        final_floor = jnp.maximum(s_len - 2, 0)
+        tokneq = tokneq_ref[0:1, :] != 0
+        neg_row = jnp.full((1, s_pad), neg, jnp.float32)
+
+        def shift(row, k):
+            return jnp.where(s_idx >= k, _roll(row, k), neg)
+
+        def dp_step(t, prev, emit):
+            remaining = t_len - 1 - t
+            curr_start = jnp.maximum(final_floor - 2 * remaining, 0)
+            curr_end = jnp.minimum(2 * t + 1, s_len - 1)
+            cand1 = shift(prev, 1)
+            cand2 = jnp.where(tokneq, shift(prev, 2), neg)
+            best = prev
+            step = jnp.zeros((1, s_pad), jnp.int32)
+            m1 = cand1 > best
+            best = jnp.where(m1, cand1, best)
+            step = jnp.where(m1, 1, step)
+            m2 = cand2 > best
+            best = jnp.where(m2, cand2, best)
+            step = jnp.where(m2, 2, step)
+            in_band = (s_idx >= curr_start) & (s_idx <= curr_end)
+            curr = jnp.where(in_band, best + emit, neg)
+            bp_row = jnp.where(in_band, step, 0)
+            # t == 0 is the init row (no transition), t >= t_len is padding
+            active = (t >= 1) & (t < t_len)
+            return jnp.where(active, curr, prev), jnp.where(active, bp_row, 0)
+
+        def fwd_block(b, prev):
+            slot = b % 2
+            fetch_block(b, slot).wait()
+
+            @pl.when(b + 1 < n_blocks)
+            def _():
+                fetch_block(b + 1, (b + 1) % 2).start()
+
+            for i in range(8):  # static unroll within the block
+                t = b * 8 + i
+                emit = emit_buf[slot, i : i + 1, :]
+                if i == 0:
+                    # fold the DP init (viterbi.rs:62-65) into block 0 row 0
+                    init_row = jnp.where(s_idx == 0, emit, neg)
+                    init_row = jnp.where(
+                        (s_idx == 1) & (s_len > 1), emit, init_row
+                    )
+                    prev = jnp.where(b == 0, init_row, prev)
+                prev, bp_row = dp_step(t, prev, emit)
+                if bp_in_vmem:
+                    bp_ref[pl.ds(t, 1), :] = bp_row
+                else:
+                    bp_buf[0, i : i + 1, :] = bp_row
+
+            if not bp_in_vmem:
+                out_cp = pltpu.make_async_copy(
+                    bp_buf.at[0],
+                    bp_hbm.at[pl.ds(pl.multiple_of(b * 8, 8), 8), :],
+                    sem_out.at[0],
+                )
+                out_cp.start()
+                out_cp.wait()
+
+            return prev
+
+        last = jax.lax.fori_loop(0, n_blocks, fwd_block, neg_row)
+
+        # final state rule (viterbi.rs:90-93); one-hot max avoids a dynamic
+        # lane extract (no scalar dynamic vector indexing on TPU)
+        idx_last = jnp.maximum(s_len - 1, 0)
+        idx_prev = jnp.maximum(s_len - 2, 0)
+        v_last = jnp.max(jnp.where(s_idx == idx_last, last, neg))
+        v_prev = jnp.max(jnp.where(s_idx == idx_prev, last, neg))
+        final_s = jnp.where((s_len >= 2) & (v_prev > v_last), idx_prev, idx_last)
+
+        t_iota = jax.lax.broadcasted_iota(jnp.int32, (1, t_pad), 1)
+
+        if bp_in_vmem:
+
+            def back_step(i, carry):
+                s, path_row = carry
+                t = t_pad - 1 - i
+                path_row = jnp.where(t_iota == t, s, path_row)
+                apply = (t >= 1) & (t < t_len)
+                bp_row = bp_ref[pl.ds(jnp.maximum(t, 1), 1), :]
+                step = jnp.sum(jnp.where(s_idx == s, bp_row, 0))
+                s = jnp.where(apply, s - step, s)
+                return s, path_row
+
+            _, path_row = jax.lax.fori_loop(
+                0, t_pad, back_step,
+                (final_s, jnp.zeros((1, t_pad), jnp.int32)),
+            )
+        else:
+
+            def back_block(rb, carry):
+                s, path_row = carry
+                b = n_blocks - 1 - rb
+                bt_cp = pltpu.make_async_copy(
+                    bp_hbm.at[pl.ds(pl.multiple_of(b * 8, 8), 8), :],
+                    bp_buf.at[1],
+                    sem_bt,
+                )
+                bt_cp.start()
+                bt_cp.wait()
+                for i in range(7, -1, -1):  # static unroll
+                    t = b * 8 + i
+                    path_row = jnp.where(t_iota == t, s, path_row)
+                    apply = (t >= 1) & (t < t_len)
+                    step = jnp.sum(
+                        jnp.where(s_idx == s, bp_buf[1, i : i + 1, :], 0)
+                    )
+                    s = jnp.where(apply, s - step, s)
+                return s, path_row
+
+            _, path_row = jax.lax.fori_loop(
+                0, n_blocks, back_block,
+                (final_s, jnp.zeros((1, t_pad), jnp.int32)),
+            )
+
+        path_ref[:] = path_row
+
+    return kernel
+
+
+_KERNEL_BP_VMEM = _make_blocked_kernel(bp_in_vmem=True)
+_KERNEL_BP_HBM = _make_blocked_kernel(bp_in_vmem=False)
+
+
+def _prepare_inputs(log_probs, tokens):
+    t_orig = log_probs.shape[0]
+    t_pad = _round_up(max(t_orig, 8), 8)
+    s_pad = _round_up(max(int(tokens.shape[0]), LANE), LANE)
+    tokens_p = jnp.pad(tokens.astype(jnp.int32), (0, s_pad - tokens.shape[0]))
+    emit = jnp.take(log_probs.astype(jnp.float32), tokens_p, axis=1)
+    if t_pad != t_orig:
+        emit = jnp.pad(emit, ((0, t_pad - t_orig), (0, 0)))
+    tokneq = (tokens_p != jnp.roll(tokens_p, 2)).astype(jnp.int32)[None, :]
+    return emit, tokneq, t_orig, t_pad, s_pad
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def viterbi_pallas_single(
     log_probs: jnp.ndarray,
@@ -137,161 +311,59 @@ def viterbi_pallas_single(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Single-utterance fused Viterbi. Same contract as
-    viterbi_ref.viterbi_single: returns path [T_pad] int32 (frames >= t_len
-    hold the final state). vmap over the leading axis for batches."""
-    t_pad, _ = log_probs.shape
-    s_pad = _round_up(max(int(tokens.shape[0]), LANE), LANE)
-    tokens_p = jnp.pad(
-        tokens.astype(jnp.int32), (0, s_pad - tokens.shape[0])
+    viterbi_ref.viterbi_single: returns path int32 aligned to the input T
+    (frames >= t_len hold the final state). vmap over the leading axis for
+    batches.
+
+    Tiered by (static) shape: when emissions + backpointers both fit VMEM
+    the fully-resident kernel runs (no DMA chain — fastest); otherwise
+    emissions stream from HBM with bp still in VMEM."""
+    emit, tokneq, t_orig, t_pad, s_pad = _prepare_inputs(log_probs, tokens)
+    scalars = (
+        jnp.reshape(jnp.asarray(t_len, jnp.int32), (1, 1)),
+        jnp.reshape(jnp.asarray(s_len, jnp.int32), (1, 1)),
     )
-    emit = jnp.take(log_probs.astype(jnp.float32), tokens_p, axis=1)
-    tokneq = (tokens_p != jnp.roll(tokens_p, 2)).astype(jnp.int32)[None, :]
+
+    if 8 * t_pad * s_pad <= VMEM_BUDGET_BYTES:
+        path = pl.pallas_call(
+            _viterbi_kernel_resident,
+            out_shape=jax.ShapeDtypeStruct((1, t_pad), jnp.int32),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((t_pad, s_pad), jnp.int32)],
+            interpret=interpret,
+        )(*scalars, emit, tokneq)
+        return path[0][:t_orig]
 
     path = pl.pallas_call(
-        _viterbi_kernel,
+        _KERNEL_BP_VMEM,
         out_shape=jax.ShapeDtypeStruct((1, t_pad), jnp.int32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((t_pad, s_pad), jnp.int32)],
+        scratch_shapes=[
+            pltpu.VMEM((t_pad, s_pad), jnp.int32),   # backpointers
+            pltpu.VMEM((2, 8, s_pad), jnp.float32),  # emission window
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         interpret=interpret,
-    )(
-        jnp.reshape(jnp.asarray(t_len, jnp.int32), (1, 1)),
-        jnp.reshape(jnp.asarray(s_len, jnp.int32), (1, 1)),
-        emit,
-        tokneq,
-    )
-    return path[0]
+    )(*scalars, emit, tokneq)
+    return path[0][:t_orig]
 
 
 def viterbi_pallas_batch(log_probs, tokens, t_lens, s_lens, interpret=False):
     """Batched fused Viterbi: vmap adds a grid dimension over utterances."""
     fn = functools.partial(viterbi_pallas_single, interpret=interpret)
     return jax.vmap(fn)(log_probs, tokens, t_lens, s_lens)
-
-
-def _viterbi_hbm_kernel(
-    tlen_ref, slen_ref, emit_hbm, tokneq_ref, path_ref, bp_hbm,
-    emit_buf, bp_buf, sem_in, sem_out, sem_bt,
-):
-    """Long-form variant: the emission matrix and backpointers live in HBM,
-    streamed through VMEM in 8-row blocks (TPU tiling requires 8-sublane
-    aligned slices; blocking also amortizes DMA overhead 8x). Double-buffered
-    emission prefetch; bp blocks written back after each 8-step group. Same
-    DP semantics as _viterbi_kernel; removes the VMEM bound on T*S
-    (hour-scale audio) — the analog of the reference CUDA kernel keeping bp
-    in global memory (viterbi.cu:58-157). t_pad must be a multiple of 8
-    (wrapper pads)."""
-    t_pad, s_pad = emit_hbm.shape
-    n_blocks = t_pad // 8
-    t_len = tlen_ref[0, 0]
-    s_len = slen_ref[0, 0]
-    s_idx = jax.lax.broadcasted_iota(jnp.int32, (1, s_pad), 1)
-    neg = jnp.float32(-jnp.inf)
-
-    def fetch_block(b, slot):
-        return pltpu.make_async_copy(
-            emit_hbm.at[pl.ds(pl.multiple_of(b * 8, 8), 8), :],
-            emit_buf.at[slot],
-            sem_in.at[slot],
-        )
-
-    fetch_block(0, 0).start()
-
-    final_floor = jnp.maximum(s_len - 2, 0)
-    tokneq = tokneq_ref[0:1, :] != 0
-    neg_row = jnp.full((1, s_pad), neg, jnp.float32)
-
-    def shift(row, k):
-        return jnp.where(s_idx >= k, _roll(row, k), neg)
-
-    def dp_step(t, prev, emit):
-        remaining = t_len - 1 - t
-        curr_start = jnp.maximum(final_floor - 2 * remaining, 0)
-        curr_end = jnp.minimum(2 * t + 1, s_len - 1)
-        cand1 = shift(prev, 1)
-        cand2 = jnp.where(tokneq, shift(prev, 2), neg)
-        best = prev
-        step = jnp.zeros((1, s_pad), jnp.int32)
-        m1 = cand1 > best
-        best = jnp.where(m1, cand1, best)
-        step = jnp.where(m1, 1, step)
-        m2 = cand2 > best
-        best = jnp.where(m2, cand2, best)
-        step = jnp.where(m2, 2, step)
-        in_band = (s_idx >= curr_start) & (s_idx <= curr_end)
-        curr = jnp.where(in_band, best + emit, neg)
-        bp_row = jnp.where(in_band, step, 0)
-        # t == 0 is the init row (no transition), t >= t_len is padding
-        active = (t >= 1) & (t < t_len)
-        return jnp.where(active, curr, prev), jnp.where(active, bp_row, 0)
-
-    def fwd_block(b, prev):
-        slot = b % 2
-        fetch_block(b, slot).wait()
-
-        @pl.when(b + 1 < n_blocks)
-        def _():
-            fetch_block(b + 1, (b + 1) % 2).start()
-
-        for i in range(8):  # static unroll within the block
-            t = b * 8 + i
-            emit = emit_buf[slot, i : i + 1, :]
-            if i == 0:
-                # fold the DP init (viterbi.rs:62-65) into block 0's first row
-                init_row = jnp.where(s_idx == 0, emit, neg)
-                init_row = jnp.where((s_idx == 1) & (s_len > 1), emit, init_row)
-                prev = jnp.where(b == 0, init_row, prev)
-            prev, bp_row = dp_step(t, prev, emit)
-            bp_buf[0, i : i + 1, :] = bp_row
-
-        out_cp = pltpu.make_async_copy(
-            bp_buf.at[0],
-            bp_hbm.at[pl.ds(pl.multiple_of(b * 8, 8), 8), :],
-            sem_out.at[0],
-        )
-        out_cp.start()
-        out_cp.wait()
-
-        return prev
-
-    last = jax.lax.fori_loop(0, n_blocks, fwd_block, neg_row)
-
-    idx_last = jnp.maximum(s_len - 1, 0)
-    idx_prev = jnp.maximum(s_len - 2, 0)
-    v_last = jnp.max(jnp.where(s_idx == idx_last, last, neg))
-    v_prev = jnp.max(jnp.where(s_idx == idx_prev, last, neg))
-    final_s = jnp.where((s_len >= 2) & (v_prev > v_last), idx_prev, idx_last)
-
-    t_iota = jax.lax.broadcasted_iota(jnp.int32, (1, t_pad), 1)
-
-    def back_block(rb, carry):
-        s, path_row = carry
-        b = n_blocks - 1 - rb
-        bt_cp = pltpu.make_async_copy(
-            bp_hbm.at[pl.ds(pl.multiple_of(b * 8, 8), 8), :],
-            bp_buf.at[1],
-            sem_bt,
-        )
-        bt_cp.start()
-        bt_cp.wait()
-        for i in range(7, -1, -1):  # static unroll
-            t = b * 8 + i
-            path_row = jnp.where(t_iota == t, s, path_row)
-            apply = (t >= 1) & (t < t_len)
-            step = jnp.sum(jnp.where(s_idx == s, bp_buf[1, i : i + 1, :], 0))
-            s = jnp.where(apply, s - step, s)
-        return s, path_row
-
-    _, path_row = jax.lax.fori_loop(
-        0, n_blocks, back_block,
-        (final_s, jnp.zeros((1, t_pad), jnp.int32)),
-    )
-    path_ref[:] = path_row
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -302,18 +374,11 @@ def viterbi_pallas_single_hbm(
     s_len: jnp.ndarray,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """HBM-resident variant of viterbi_pallas_single for T·S beyond VMEM."""
-    t_orig = log_probs.shape[0]
-    t_pad = _round_up(max(t_orig, 8), 8)
-    s_pad = _round_up(max(int(tokens.shape[0]), LANE), LANE)
-    tokens_p = jnp.pad(tokens.astype(jnp.int32), (0, s_pad - tokens.shape[0]))
-    emit = jnp.take(log_probs.astype(jnp.float32), tokens_p, axis=1)
-    if t_pad != t_orig:
-        emit = jnp.pad(emit, ((0, t_pad - t_orig), (0, 0)))
-    tokneq = (tokens_p != jnp.roll(tokens_p, 2)).astype(jnp.int32)[None, :]
+    """HBM-resident-backpointer variant for T·S beyond VMEM (long-form)."""
+    emit, tokneq, t_orig, t_pad, s_pad = _prepare_inputs(log_probs, tokens)
 
     path, _ = pl.pallas_call(
-        _viterbi_hbm_kernel,
+        _KERNEL_BP_HBM,
         out_shape=(
             jax.ShapeDtypeStruct((1, t_pad), jnp.int32),
             jax.ShapeDtypeStruct((t_pad, s_pad), jnp.int32),  # bp (HBM scratch)
@@ -349,12 +414,11 @@ VMEM_BUDGET_BYTES = 12 * 1024 * 1024  # leave headroom below the ~16 MB VMEM
 
 
 def fits_vmem(t_len: int, s_len: int) -> bool:
-    """The kernel keeps the emission matrix + int32 backpointers resident in
-    VMEM: ~8 bytes per (t, s) cell after lane padding. Longer-form work
-    falls back to the lax.scan DP (bp lives in HBM there); kernel-side HBM
-    backpointer streaming is the planned lift for hour-scale audio."""
+    """The fast kernel keeps only the int32 backpointers in VMEM (emissions
+    stream from HBM): 4 bytes per (t, s) cell after lane padding. Beyond
+    this, the HBM-backpointer variant takes over (unbounded T·S)."""
     s_pad = _round_up(max(s_len, LANE), LANE)
-    return 8 * t_len * s_pad <= VMEM_BUDGET_BYTES
+    return 4 * t_len * s_pad <= VMEM_BUDGET_BYTES
 
 
 def on_tpu() -> bool:
