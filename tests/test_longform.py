@@ -76,3 +76,28 @@ def test_longform_chunked_produces_monotone_words(tiny_model):
     for a, b in zip(out.words, out.words[1:]):
         assert a.end_ms <= b.start_ms
     assert out.words[-1].end_ms <= 3000
+
+
+def test_longform_sharded_chunks_match_unsharded(tiny_model):
+    """Chunk batch sharded over the mesh 'data' axis must match the
+    unsharded result exactly (sequence-parallel long-form)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from wav2vec2_tpu.parallel.mesh import make_mesh, replicated
+
+    cfg, params, vocab = tiny_model
+    mesh = make_mesh(8, model=1)
+    sharded_params = jax.device_put(params, replicated(mesh))
+
+    rng = np.random.default_rng(5)
+    audio = rng.normal(size=48_000).astype(np.float32)
+    transcript = "ab ba ab ba ab"
+    plain = align_longform(audio, transcript, params, cfg, vocab,
+                           chunk_sec=1.0, overlap_sec=0.25)
+    sharded = align_longform(audio, transcript, sharded_params, cfg, vocab,
+                             chunk_sec=1.0, overlap_sec=0.25, mesh=mesh)
+    assert [w.word for w in plain.words] == [w.word for w in sharded.words]
+    for a, b in zip(plain.words, sharded.words):
+        assert (a.start_ms, a.end_ms) == (b.start_ms, b.end_ms)

@@ -81,8 +81,14 @@ def align_longform(
     sample_rate: int = 16000,
     compute_dtype: str = "float32",
     hp: AlignerHyperParams | None = None,
+    mesh=None,
 ) -> AlignmentOutput:
-    """Align arbitrarily long audio against its transcript."""
+    """Align arbitrarily long audio against its transcript.
+
+    `mesh` shards the CHUNK batch over the 'data' axis — the sequence-
+    parallel dimension for long-form audio (each chunk is independent until
+    the stitched DP, so chunk-parallelism needs no ring attention at this
+    model scale; SURVEY.md §2.8 SP row)."""
     import jax.numpy as jnp
 
     from ..models.ctc_model import log_softmax_logits, make_forward_fn
@@ -119,8 +125,24 @@ def align_longform(
         for i, (s0, s1) in enumerate(spans):
             batch[i, : s1 - s0] = normalized[s0:s1]
             lens[i] = s1 - s0
-        logits = fwd(params, jnp.asarray(batch), jnp.asarray(lens))
-        lp_all = np.asarray(log_softmax_logits(logits))
+        batch_dev, lens_dev = jnp.asarray(batch), jnp.asarray(lens)
+        if mesh is not None:
+            from ..parallel.mesh import batch_sharding
+
+            bs = batch_sharding(mesh)
+            data_size = mesh.shape.get("data", 1)
+            pad_rows = (-batch.shape[0]) % data_size
+            if pad_rows:
+                batch = np.concatenate(
+                    [batch, np.zeros((pad_rows, n_pad), np.float32)]
+                )
+                lens = np.concatenate([lens, np.ones(pad_rows, np.int32)])
+            import jax
+
+            batch_dev = jax.device_put(batch, bs)
+            lens_dev = jax.device_put(lens, bs)
+        logits = fwd(params, batch_dev, lens_dev)
+        lp_all = np.asarray(log_softmax_logits(logits))[: len(spans)]
         chunk_lps = [
             lp_all[i, : model_cfg.conv_output_length(int(lens[i]))]
             for i in range(len(spans))
