@@ -218,3 +218,31 @@ def test_concurrent_align_thread_safety(model_dir):
         t.join()
     assert not errors
     assert all(r == ["ab"] for r in results)
+
+
+def test_custom_sequence_aligner_injection(model_dir):
+    """The fourth swappable stage (SequenceAligner, builder.rs:39-57)."""
+    calls = []
+
+    class GreedyAligner:
+        def align_path(self, forward_output, tokens):
+            calls.append("align")
+            # trivially walk states forward one per frame, clamped
+            t = forward_output.t_len
+            return np.minimum(np.arange(t), len(tokens) - 1).astype(np.int32)
+
+    tokens = [0, 2, 0]
+    aligner_obj = GreedyAligner()
+    cfg = Wav2Vec2Config(
+        config_path=str(model_dir / "config.json"),
+        vocab_path=str(model_dir / "vocab.json"),
+    )
+    aligner = (
+        ForcedAlignerBuilder(cfg)
+        .with_runtime_backend(MockBackend(planted_log_probs(tokens)))
+        .with_sequence_aligner(aligner_obj)
+        .build()
+    )
+    out = aligner.align(AlignmentInput(16000, np.ones(100, np.float32), "a"))
+    assert calls == ["align"]
+    assert [w.word for w in out.words] == ["a"]
