@@ -15,13 +15,19 @@ gpu_matches_cpu pattern (viterbi_gpu.rs:328-347).
 
 Layout notes:
 - the emission matrix E[t, s] = log_probs[t, tokens[s]] is gathered by XLA
-  outside the kernel (one fused gather) and streamed row-by-row inside;
+  outside the kernel (one fused gather);
 - state rows are (1, S_pad) f32 with S_pad padded to a lane multiple (128);
   cross-lane shifts use pltpu.roll;
-- backpointers are an int32 (T_pad, S_pad) VMEM scratch; dynamic lane
-  extraction in the backtrace uses a one-hot reduction (TPU has no scalar
-  dynamic vector extract);
+- dynamic lane extraction in the backtrace uses a one-hot reduction (TPU
+  has no scalar dynamic vector extract);
 - scalars (t_len, s_len) ride in SMEM.
+
+Three tiers by static padded shape (see docs/kernel_design.md):
+1. fully VMEM-resident (emissions + int32 backpointers ≤ ~12 MB);
+2. emissions streamed from HBM in double-buffered 8-row blocks,
+   backpointers still VMEM;
+3. backpointers in HBM too, written back per block — unbounded T·S for
+   hour-scale long-form audio.
 """
 
 from __future__ import annotations
