@@ -136,3 +136,44 @@ def test_cli_missing_model_dir(dataset_root, tmp_path):
     with pytest.raises(SystemExit):
         run(["--model-dir", str(tmp_path / "nope"),
              "--dataset-root", str(dataset_root)])
+
+
+def test_cli_batch_and_single_paths_agree(model_dir, dataset_root, tmp_path):
+    """The default bucketed batch path and --no-batch per-utterance path
+    must produce identical TextGrids (CLI-level wiring equivalence)."""
+    rc = run(common_args(model_dir, dataset_root)
+             + ["--output-format", "textgrid", "--textgrid-suffix", "_batch"])
+    assert rc == 0
+    rc = run(common_args(model_dir, dataset_root)
+             + ["--output-format", "textgrid", "--textgrid-suffix", "_single",
+                "--no-batch"])
+    assert rc == 0
+    from wav2vec2_tpu.cli.compare_textgrids import compare_pairs
+
+    pairs = []
+    for batch_tg in sorted((dataset_root / "LibriSpeech").rglob("*_batch.TextGrid")):
+        single_tg = batch_tg.with_name(
+            batch_tg.name.replace("_batch", "_single")
+        )
+        assert single_tg.exists()
+        pairs.append((batch_tg, single_tg))
+    assert len(pairs) == 3
+    metrics, compared, failures = compare_pairs(pairs, strict=True)
+    assert failures == 0 and compared == 3
+    assert metrics["median_start_diff_ms"] == 0.0
+    assert metrics["median_end_diff_ms"] == 0.0
+
+
+def test_cli_missing_dataset_errors_cleanly(model_dir, tmp_path):
+    with pytest.raises((SystemExit, FileNotFoundError)):
+        run(["--model-dir", str(model_dir),
+             "--dataset-root", str(tmp_path / "nodata"),
+             "--output-format", "json"])
+
+
+def test_cli_empty_filter_errors_cleanly(model_dir, dataset_root, tmp_path):
+    cases_file = tmp_path / "cases.txt"
+    cases_file.write_text("does-not-exist\n")
+    with pytest.raises(SystemExit, match="no cases"):
+        run(common_args(model_dir, dataset_root)
+            + ["--output-format", "json", "--cases-file", str(cases_file)])
