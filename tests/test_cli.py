@@ -177,3 +177,25 @@ def test_cli_empty_filter_errors_cleanly(model_dir, dataset_root, tmp_path):
     with pytest.raises(SystemExit, match="no cases"):
         run(common_args(model_dir, dataset_root)
             + ["--output-format", "json", "--cases-file", str(cases_file)])
+
+
+def test_cli_skips_too_short_audio_cases(model_dir, tmp_path, capsys):
+    """One unalignable case (transcript longer than audio) must be skipped
+    with a warning, not abort the batch run."""
+    root = tmp_path / "data2"
+    base = root / "LibriSpeech" / "test-clean" / "1" / "2"
+    base.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    x = np.clip(np.cumsum(rng.integers(-80, 80, size=8000)), -30000, 30000)
+    write_flac(base / "1-2-0000.flac", x.astype(np.int64), 16000)
+    write_flac(base / "1-2-0001.flac", x.astype(np.int64), 16000)
+    long_text = " ".join(["EXTRAORDINARILY"] * 60)
+    (base / "1-2.trans.txt").write_text(
+        f"1-2-0000 HELLO WORLD\n1-2-0001 {long_text}"
+    )
+    out = tmp_path / "r.json"
+    rc = run(common_args(model_dir, root)
+             + ["--output-format", "json", "--out", str(out)])
+    assert rc == 0
+    report = json.loads(out.read_text())
+    assert [s["id"] for s in report["sentences"]] == ["1-2-0000"]

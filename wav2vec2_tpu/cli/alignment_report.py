@@ -174,6 +174,14 @@ def run(argv=None) -> int:
 
     configure_logging()
     enable_compilation_cache()
+    if args.device == "cpu":
+        # explicit CPU selection (the reference's --device flag)
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     platform = ensure_backend()
     print(f"[alignment_report] jax platform: {platform}", file=sys.stderr)
 
@@ -213,6 +221,30 @@ def run(argv=None) -> int:
         loaded = list(pool.map(_load, cases))
     audios = [a for a, _ in loaded]
     durations_ms = [d for _, d in loaded]
+
+    # drop cases whose transcript cannot fit the audio BEFORE batching, so
+    # one bad case doesn't abort the run (the per-utterance guard raises,
+    # runtime.rs:116-121; here it becomes a per-case warning)
+    from ..align.tokenization import build_token_sequence_case_aware
+
+    keep = []
+    for i, c in enumerate(cases):
+        seq = build_token_sequence_case_aware(
+            c.transcript, vocab, model_cfg.pad_token_id, vocab.get("|", 0)
+        )
+        t_i = model_cfg.conv_output_length(len(audios[i]))
+        if seq.tokens and t_i < -(-len(seq.tokens) // 2):
+            print(f"[alignment_report] skipping {c.id}: audio too short for "
+                  f"transcript ({t_i} frames < {-(-len(seq.tokens) // 2)})",
+                  file=sys.stderr)
+            continue
+        keep.append(i)
+    if len(keep) < len(cases):
+        cases = [cases[i] for i in keep]
+        audios = [audios[i] for i in keep]
+        durations_ms = [durations_ms[i] for i in keep]
+    if not cases:
+        raise SystemExit("error: no alignable cases")
 
     if args.batch:
         from ..models.params import load_safetensors_params
