@@ -111,3 +111,24 @@ def test_hbm_kernel_padded_matches(seed=0):
     )
     ref = viterbi_numpy(lp, tokens)
     assert [s for s, _ in ref] == list(np.asarray(path)[:t_len])
+
+
+def test_all_four_backends_agree_via_pipeline():
+    """Pipeline-level equivalence of every SequenceAligner backend
+    (numpy / scan / pallas / pallas-hbm) on the same forward output."""
+    from wav2vec2_tpu.pipeline.defaults import ViterbiSequenceAligner
+    from wav2vec2_tpu.pipeline.traits import ForwardOutput
+
+    rng = np.random.default_rng(11)
+    t_len, vocab, s_len = 40, 8, 15
+    lp = rng.normal(size=(t_len, vocab)).astype(np.float32)
+    tokens = list(rng.integers(0, vocab, size=s_len))
+    fo = ForwardOutput(log_probs=lp, t_len=t_len, vocab_size=vocab)
+
+    paths = {}
+    for backend in ("numpy", "scan", "pallas", "pallas-hbm"):
+        aligner = ViterbiSequenceAligner(force_backend=backend)
+        paths[backend] = list(aligner.align_path(fo, tokens))
+    ref = paths["numpy"]
+    for name, p in paths.items():
+        assert p == ref, name

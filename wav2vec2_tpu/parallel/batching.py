@@ -12,6 +12,8 @@ to host; grouping stays host-side per utterance (words ≤ ~100).
 from __future__ import annotations
 
 import functools
+import logging
+import time
 from dataclasses import dataclass
 from typing import Sequence
 
@@ -25,6 +27,8 @@ from ..align.tokenization import build_token_sequence_case_aware
 from ..config import AlignerHyperParams, Wav2Vec2ModelConfig
 from ..models.ctc_model import frame_lengths, log_softmax_logits, wav2vec2_forward, _freeze_cfg
 from ..types import AlignmentOutput
+
+logger = logging.getLogger(__name__)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -309,10 +313,24 @@ class BatchAligner:
                 )
                 outputs[i] = AlignmentOutput(words=words, frame_stats=stats)
 
+        t_start = time.perf_counter()
         for bucket in buckets:
+            logger.debug(
+                "bucket submit: %d utts, n_pad=%d, s_pad=%d",
+                len(bucket.indices), bucket.n_pad, bucket.s_pad,
+            )
             in_flight.append((bucket, submit(bucket)))
             if len(in_flight) >= max_in_flight:
                 drain(*in_flight.pop(0))
         while in_flight:
             drain(*in_flight.pop(0))
+        if buckets:
+            audio_sec = sum(active_lens) / 16000.0
+            elapsed = time.perf_counter() - t_start
+            logger.info(
+                "aligned %d utterances (%.1f s audio) in %d buckets, %.2f s "
+                "(%.0fx realtime)",
+                len(active), audio_sec, len(buckets), elapsed,
+                audio_sec / elapsed if elapsed > 0 else 0.0,
+            )
         return [o if o is not None else AlignmentOutput(words=[]) for o in outputs]

@@ -54,7 +54,9 @@ class ViterbiSequenceAligner:
             return np.asarray([s for s, _ in path], dtype=np.int32)
 
         lp = forward_output.log_probs
-        if not hasattr(lp, "device"):  # host numpy input
+        if not hasattr(lp, "block_until_ready"):  # host numpy input
+            # (numpy 2.0 arrays also expose `.device`, so probe a jax-only
+            # attribute)
             lp = jnp.asarray(lp, dtype=jnp.float32)
         if backend == "device":
             from ..ops.viterbi_pallas import fits_vmem, on_tpu
