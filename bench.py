@@ -117,13 +117,16 @@ def main():
         outs = one_repeat()
 
     repeats = 10 if on_tpu else 2
-    t0 = time.perf_counter()
+    per_repeat = []
     for _ in range(repeats):
+        t0 = time.perf_counter()
         outs = one_repeat()
-    elapsed = time.perf_counter() - t0
+        per_repeat.append(time.perf_counter() - t0)
 
-    total_audio = batch * audio_sec * repeats
-    rtf = total_audio / elapsed
+    # median repeat, matching the reference's median-aggregate protocol
+    # (BENCHMARKS.md:306-312) — robust to tunnel jitter
+    median_s = sorted(per_repeat)[len(per_repeat) // 2]
+    rtf = batch * audio_sec / median_s
     assert all(len(w) > 0 for w in outs)
 
     print(json.dumps({
