@@ -117,19 +117,24 @@ bool decode_residual(BitReader& br, int order, uint32_t block_size,
     if (block_size % partitions != 0) return false;
     uint32_t part_len = block_size >> partition_order;
     if (part_len == 0) return false;
+    // The first partition is shortened by the predictor order; a stream where
+    // order > part_len is invalid and would underflow the count below.
+    if ((uint32_t)order > part_len) return false;
 
     uint32_t sample_idx = order;
     for (uint32_t p = 0; p < partitions; p++) {
-        uint32_t count = part_len - (p == 0 ? order : 0);
+        uint32_t count = part_len - (p == 0 ? (uint32_t)order : 0);
         uint32_t param = (uint32_t)br.read_bits(param_bits);
         if (br.error) return false;
         if (param == escape) {
             uint32_t raw_bits = (uint32_t)br.read_bits(5);
             for (uint32_t i = 0; i < count; i++) {
+                if (br.error || sample_idx >= block_size) return false;
                 out[sample_idx++] = raw_bits == 0 ? 0 : br.read_signed(raw_bits);
             }
         } else {
             for (uint32_t i = 0; i < count; i++) {
+                if (br.error || sample_idx >= block_size) return false;
                 uint64_t q = br.read_unary();
                 uint64_t bits = param ? br.read_bits(param) : 0;
                 uint64_t u = (q << param) | bits;
@@ -224,8 +229,10 @@ struct FlacDecoded {
     uint32_t bits_per_sample;
 };
 
-// Returns 0 on success; negative error codes otherwise.
-int flac_decode_buffer(const uint8_t* data, size_t size, FlacDecoded* result) {
+namespace {
+
+int flac_decode_buffer_impl(const uint8_t* data, size_t size,
+                            FlacDecoded* result) {
     if (!data || size < 8 || !result) return -1;
     if (memcmp(data, "fLaC", 4) != 0) return -2;
 
@@ -259,8 +266,14 @@ int flac_decode_buffer(const uint8_t* data, size_t size, FlacDecoded* result) {
 
     BitReader br{data + pos, size - pos};
     std::vector<int32_t> pcm;
-    if (info.total_samples)
-        pcm.reserve((size_t)info.total_samples * info.channels);
+    if (info.total_samples) {
+        // STREAMINFO's 36-bit total_samples is untrusted; cap the upfront
+        // reservation (~64 MB of int32) — longer valid streams still decode,
+        // they just pay vector growth instead of a crafted-file huge alloc.
+        constexpr size_t kMaxReserve = 16ull * 1024 * 1024;
+        size_t want = (size_t)info.total_samples * info.channels;
+        pcm.reserve(want < kMaxReserve ? want : kMaxReserve);
+    }
 
     static const uint32_t kRateTable[12] = {0,     88200, 176400, 192000,
                                             8000,  16000, 22050,  24000,
@@ -370,6 +383,18 @@ int flac_decode_buffer(const uint8_t* data, size_t size, FlacDecoded* result) {
     result->channels = info.channels;
     result->bits_per_sample = info.bits_per_sample;
     return 0;
+}
+
+}  // namespace
+
+// Returns 0 on success; negative error codes otherwise. Exceptions (e.g.
+// std::bad_alloc on a crafted stream) must not cross the C ABI.
+int flac_decode_buffer(const uint8_t* data, size_t size, FlacDecoded* result) {
+    try {
+        return flac_decode_buffer_impl(data, size, result);
+    } catch (...) {
+        return -15;
+    }
 }
 
 int flac_decode_file(const char* path, FlacDecoded* result) {

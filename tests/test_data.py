@@ -89,6 +89,92 @@ def test_flac_partial_final_block(tmp_path):
     assert len(got) == len(x)
 
 
+class _BitWriter:
+    def __init__(self):
+        self.bits = []
+
+    def write(self, value, n):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((value >> i) & 1)
+
+    def bytes(self):
+        while len(self.bits) % 8:
+            self.bits.append(0)
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for bit in self.bits[i : i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+        return bytes(out)
+
+
+def _streaminfo(total_samples=192, channels=1, bits=16, rate=16000):
+    b = bytearray(34)
+    b[10] = rate >> 12
+    b[11] = (rate >> 4) & 0xFF
+    b[12] = ((rate & 0xF) << 4) | ((channels - 1) << 1) | ((bits - 1) >> 4)
+    b[13] = (((bits - 1) & 0xF) << 4) | ((total_samples >> 32) & 0xF)
+    b[14:18] = (total_samples & 0xFFFFFFFF).to_bytes(4, "big")
+    return b"fLaC" + bytes([0x80, 0, 0, 34]) + bytes(b)
+
+
+def test_flac_rejects_order_exceeding_partition_length(tmp_path):
+    """Regression: FIXED order 4 with partition_order 6 on a 192-sample block
+    gives part_len=3 < order — the residual count underflowed uint32 and the
+    write loop ran off the end of the block buffer (heap overflow / segfault).
+    Must now return a decoder error."""
+    w = _BitWriter()
+    w.write(0x3FFE, 14)  # frame sync
+    w.write(0, 2)  # reserved + blocking strategy
+    w.write(1, 4)  # bs_code 1 -> block_size 192
+    w.write(5, 4)  # sr_code 5 -> 16000
+    w.write(0, 4)  # ch_code 0 -> mono
+    w.write(4, 3)  # ss_code 4 -> 16-bit
+    w.write(0, 1)  # reserved
+    w.write(0, 8)  # UTF-8 frame number 0
+    w.write(0, 8)  # header CRC-8 (not verified)
+    w.write(0, 1)  # subframe zero pad
+    w.write(12, 6)  # FIXED order 4
+    w.write(0, 1)  # no wasted bits
+    for _ in range(4):
+        w.write(0, 16)  # warmup samples
+    w.write(0, 2)  # residual method 0 (4-bit Rice)
+    w.write(6, 4)  # partition_order 6 -> part_len 3 < order 4
+    w.write(0, 4)  # first Rice parameter
+    data = _streaminfo() + w.bytes() + b"\x00" * 64
+    p = tmp_path / "evil.flac"
+    p.write_bytes(data)
+    from wav2vec2_tpu.errors import RuntimeBackendError
+
+    with pytest.raises(RuntimeBackendError):
+        read_flac_mono(p)
+
+
+def test_flac_huge_total_samples_header_does_not_allocate(tmp_path):
+    """A crafted 36-bit total_samples must not trigger a multi-GB reserve or
+    let bad_alloc cross the C ABI."""
+    p = tmp_path / "huge.flac"
+    p.write_bytes(_streaminfo(total_samples=(1 << 36) - 1, channels=8))
+    # header-only stream: decodes to zero frames without a giant allocation
+    got, _ = read_flac_mono(p)
+    assert len(got) == 0
+
+
+def test_flac_random_garbage_frames_error_cleanly(tmp_path):
+    rng = np.random.default_rng(7)
+    from wav2vec2_tpu.errors import RuntimeBackendError
+
+    for seed in range(8):
+        data = _streaminfo() + bytes(rng.integers(0, 256, size=256, dtype=np.uint8))
+        p = tmp_path / f"g{seed}.flac"
+        p.write_bytes(data)
+        try:
+            read_flac_mono(p)  # either decodes garbage or errors — no crash
+        except RuntimeBackendError:
+            pass
+
+
 def test_read_audio_mono_dispatch(tmp_path):
     x = rand_pcm(1000, seed=5)
     write_flac(tmp_path / "x.flac", x)

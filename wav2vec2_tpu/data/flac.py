@@ -31,11 +31,23 @@ class _FlacDecoded(ctypes.Structure):
     ]
 
 
+def _needs_build() -> bool:
+    """True when the .so is absent or older than its C++ source.
+
+    The .so is NOT committed to version control (binary blobs are
+    unauditable); mtime comparison also ensures a source edit triggers a
+    rebuild rather than silently using a stale artifact."""
+    if not _LIB_PATH.exists():
+        return True
+    src = _NATIVE_DIR / "flac_decoder.cpp"
+    return src.exists() and src.stat().st_mtime > _LIB_PATH.stat().st_mtime
+
+
 def _load_library() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if not _LIB_PATH.exists():
+    if _needs_build():
         try:
             subprocess.run(
                 ["make", "-C", str(_NATIVE_DIR)],
