@@ -37,18 +37,28 @@ from .layers import conv1d, gelu, layer_norm, linear
 def pos_conv_forward(
     params: dict, x: jnp.ndarray, cfg: Wav2Vec2ModelConfig
 ) -> jnp.ndarray:
-    """x: [B, T, H] → positional embeddings [B, T, H]."""
+    """x: [B, T, H] → positional embeddings [B, T, H].
+
+    Runs in NHC (channels-last) layout: [B, T, H] is already channels-last,
+    so the grouped conv needs no activation transposes, and channels map to
+    TPU lanes (measured 5.0 ms vs 7.6 ms for the NCH formulation at
+    B=32, T=499 — scripts/profile_forward.py posconv/posconv_nhc). The
+    torch-layout weight [O, I/G, K] is transposed to [K, I/G, O] in-graph
+    (one small weight reshuffle, folded into the conv by XLA)."""
     seq_len = x.shape[1]
-    h = conv1d(
-        x.transpose(0, 2, 1),
-        params["weight"],
-        params["bias"],
-        stride=1,
-        padding=cfg.num_conv_pos_embeddings // 2,
-        groups=cfg.num_conv_pos_embedding_groups,
+    pad = cfg.num_conv_pos_embeddings // 2
+    w = params["weight"].transpose(2, 1, 0).astype(x.dtype)  # [K, I/G, O]
+    h = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(1,),
+        padding=[(pad, pad)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=cfg.num_conv_pos_embedding_groups,
     )
-    h = h[:, :, :seq_len]  # narrow back (even kernel produces T+1)
-    return gelu(h).transpose(0, 2, 1)
+    h = h[:, :seq_len, :]  # narrow back (even kernel produces T+1)
+    h = h + params["bias"].astype(x.dtype)
+    return gelu(h)
 
 
 def _self_attention(
@@ -68,10 +78,24 @@ def _self_attention(
     k = split_heads(linear(x, p["k_proj"]["kernel"], p["k_proj"]["bias"]))
     v = split_heads(linear(x, p["v_proj"]["kernel"], p["v_proj"]["bias"]))
 
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-    if mask_bias is not None:
-        scores = scores + mask_bias
-    attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+    if x.dtype == jnp.float32:
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        )
+        if mask_bias is not None:
+            scores = scores + mask_bias
+        attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    else:
+        # bf16 compute: keep the [B, H, T, T] score tensor in bf16 — it is
+        # the largest activation in the layer and f32 scores double its HBM
+        # traffic (measured 47.4 -> 34.4 ms for the 12-layer encoder at
+        # B=32, T=499 — scripts/profile_forward.py enc_bf16sm). The MXU
+        # still accumulates the QK^T products in f32 internally; only the
+        # stored scores round to bf16 (~2^-8 relative, inside bf16 noise).
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=x.dtype)
+        if mask_bias is not None:
+            scores = scores + mask_bias.astype(x.dtype)
+        attn = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhqk,bhkd->bhqd", attn, v, preferred_element_type=x.dtype)
     out = out.transpose(0, 2, 1, 3).reshape(b, t, h)
     return linear(out, p["out_proj"]["kernel"], p["out_proj"]["bias"])
