@@ -133,3 +133,63 @@ def test_batch_aligner_sharded_over_mesh(setup):
         assert [w.word for w in a.words] == [w.word for w in b.words]
         for wa, wb in zip(a.words, b.words):
             assert wa.start_ms == wb.start_ms and wa.end_ms == wb.end_ms
+
+
+def test_device_resident_batch_padded_to_mesh_multiple(setup):
+    """Regression: a PRE-STAGED device batch whose batch dim is not a
+    multiple of the 'data' axis must be padded inside submit_padded_batch —
+    round 1 only padded the host-staging path (batching.py:191-199)."""
+    import jax
+    import jax.numpy as jnp
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    from wav2vec2_tpu.config import Wav2Vec2ModelConfig
+    from wav2vec2_tpu.models.params import init_params
+    from wav2vec2_tpu.parallel.batching import BatchAligner
+    from wav2vec2_tpu.parallel.mesh import make_mesh, replicated
+    from wav2vec2_tpu.align.tokenization import build_token_sequence_case_aware
+    from wav2vec2_tpu.pipeline.runtime import normalize_audio
+
+    cfg = Wav2Vec2ModelConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, conv_dim=[16, 16], conv_kernel=[10, 3],
+        conv_stride=[5, 2], num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4, pad_token_id=0, vocab_size=8,
+        feat_extract_norm="group", conv_bias=False,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    vocab = {"a": 1, "b": 2, "|": 3, "c": 4}
+    mesh = make_mesh(8, model=1)
+    sharded_params = jax.device_put(params, replicated(mesh))
+    aligner = BatchAligner(cfg, sharded_params, vocab, compute_dtype="float32",
+                           use_pallas=False, mesh=mesh)
+    plain = BatchAligner(cfg, params, vocab, compute_dtype="float32",
+                         use_pallas=False)
+
+    rng = np.random.default_rng(2)
+    b = 5  # deliberately NOT a multiple of 8
+    n_pad, s_pad = 3000, 16
+    audio = np.stack([
+        normalize_audio(rng.normal(size=n_pad).astype(np.float32))
+        for _ in range(b)
+    ])
+    seqs = [
+        build_token_sequence_case_aware(t, vocab, 0, 3)
+        for t in ["ab ca", "ba", "ab", "ca", "ab ba"]
+    ]
+    tokens = np.zeros((b, s_pad), np.int32)
+    s_lens = np.asarray([len(s.tokens) for s in seqs], np.int32)
+    for i, s in enumerate(seqs):
+        tokens[i, : len(s.tokens)] = s.tokens
+    lens = np.full((b,), n_pad, np.int32)
+
+    # pre-stage ON DEVICE (jnp arrays) — exercises the on_device branch
+    dev = (jnp.asarray(audio), jnp.asarray(lens),
+           jnp.asarray(tokens), jnp.asarray(s_lens))
+    got = tuple(np.asarray(x) for x in aligner.submit_padded_batch(*dev))
+    want = plain.align_padded_batch(audio, lens, tokens, s_lens)
+    # padded replica rows beyond b are ignored; real rows must match exactly
+    np.testing.assert_array_equal(got[0][:b], want[0][:b])  # paths
+    np.testing.assert_array_equal(got[1][:b], want[1][:b])  # t_lens

@@ -124,6 +124,22 @@ def test_align_profiled_timing_identity(model_dir):
     assert p.device == "mock"
 
 
+def test_align_profiled_with_memory_fills_all_stages(model_dir):
+    """All five reference stages (memory_tracker.rs StageMemoryMap) must be
+    populated: forward/post/dp/group/conf."""
+    tokens = [0, 2, 0, 3, 0]
+    lp = planted_log_probs(tokens)
+    aligner = build_aligner(model_dir, MockBackend(lp))
+    p, stages = aligner.align_profiled_with_memory(
+        AlignmentInput(16000, np.ones(1000, np.float32), "ab")
+    )
+    assert [w.word for w in p.output.words] == ["ab"]
+    for stage in ("forward", "post", "dp", "group", "conf"):
+        mem = getattr(stages, stage)
+        assert mem is not None, f"stage {stage} not measured"
+        assert mem.peak_rss_bytes > 0
+
+
 def test_custom_component_injection(model_dir):
     """Every stage is swappable (builder.rs:39-57; examples/custom_builder_components.rs)."""
     from wav2vec2_tpu.types import TokenSequence, WordTiming

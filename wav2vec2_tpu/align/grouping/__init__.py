@@ -97,7 +97,13 @@ def group_into_words_profiled(
     word_sep_id: int,
     stride_ms: float,
     hp: AlignerHyperParams = _DEFAULT_HP,
+    measure=None,
 ) -> ProfiledWordGroupingOutput:
+    """`measure(stage_name, fn) -> fn()` optionally instruments the
+    confidence block (block 3) — the memory tracker hooks in here so the
+    reference's five-stage StageMemoryMap (memory_tracker.rs) gets its
+    `conf` entry even though grouping and confidence are one call in this
+    pipeline."""
     import time
 
     # --- Block 1: collect raw words from the Viterbi path ---
@@ -128,24 +134,29 @@ def group_into_words_profiled(
 
     # --- Block 3: confidence scoring + ms conversion ---
     t0 = time.perf_counter()
-    words: list[WordTiming] = []
-    for w in expanded:
-        # [start_ms, end_ms): truncate-toward-zero like the Rust `as u64`
-        start_ms = int(w.start_frame * stride_ms)
-        end_ms = int((w.end_frame + 1) * stride_ms)
-        qc = quality_confidence_score(w.confidence_stats, hp)
-        cc = calibrate_quality_confidence(qc, hp) if qc is not None else None
-        w.confidence_stats.quality_confidence = qc
-        w.confidence_stats.calibrated_confidence = cc
-        words.append(
-            WordTiming(
-                word=w.word,
-                start_ms=start_ms,
-                end_ms=end_ms,
-                confidence=cc,
-                confidence_stats=w.confidence_stats,
+
+    def _confidence_block() -> list[WordTiming]:
+        words: list[WordTiming] = []
+        for w in expanded:
+            # [start_ms, end_ms): truncate-toward-zero like the Rust `as u64`
+            start_ms = int(w.start_frame * stride_ms)
+            end_ms = int((w.end_frame + 1) * stride_ms)
+            qc = quality_confidence_score(w.confidence_stats, hp)
+            cc = calibrate_quality_confidence(qc, hp) if qc is not None else None
+            w.confidence_stats.quality_confidence = qc
+            w.confidence_stats.calibrated_confidence = cc
+            words.append(
+                WordTiming(
+                    word=w.word,
+                    start_ms=start_ms,
+                    end_ms=end_ms,
+                    confidence=cc,
+                    confidence_stats=w.confidence_stats,
+                )
             )
-        )
+        return words
+
+    words = measure("conf", _confidence_block) if measure else _confidence_block()
     conf_ms = (time.perf_counter() - t0) * 1000.0
 
     return ProfiledWordGroupingOutput(words, conf_ms, collect_ms, expand_select_ms)

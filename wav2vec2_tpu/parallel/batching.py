@@ -188,15 +188,20 @@ class BatchAligner:
             audio_lens = np.asarray(audio_lens, np.int32)
             tokens = np.asarray(tokens, np.int32)
             s_lens = np.asarray(s_lens, np.int32)
-        if not on_device and self.mesh is not None:
+        if self.mesh is not None:
+            # both host-staged and pre-staged device batches must be padded
+            # to the 'data'-axis multiple — a non-divisible batch dim can't
+            # shard over the mesh
             data_size = self.mesh.shape.get("data", 1)
-            b = audio.shape[0]
-            pad = (-b) % data_size
+            pad = (-audio.shape[0]) % data_size
             if pad:
-                audio = np.concatenate([audio, np.repeat(audio[-1:], pad, 0)])
-                audio_lens = np.concatenate([audio_lens, np.repeat(audio_lens[-1:], pad)])
-                tokens = np.concatenate([tokens, np.repeat(tokens[-1:], pad, 0)])
-                s_lens = np.concatenate([s_lens, np.repeat(s_lens[-1:], pad)])
+                xp = jnp if on_device else np
+                def _pad_rows(a):
+                    return xp.concatenate([a, xp.repeat(a[-1:], pad, axis=0)], axis=0)
+                audio = _pad_rows(audio)
+                audio_lens = _pad_rows(audio_lens)
+                tokens = _pad_rows(tokens)
+                s_lens = _pad_rows(s_lens)
         audio, audio_lens, tokens, s_lens = self._device_put_batch(
             audio, audio_lens, tokens, s_lens
         )

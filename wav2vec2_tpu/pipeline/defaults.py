@@ -121,6 +121,7 @@ class DefaultWordGrouper:
         blank_id: int,
         word_sep_id: int,
         frame_stride_ms: float,
+        measure=None,
     ) -> ProfiledWordGroupingOutput:
         path = [(int(s), t) for t, s in enumerate(path_states)]
         return group_into_words_profiled(
@@ -133,4 +134,5 @@ class DefaultWordGrouper:
             word_sep_id,
             frame_stride_ms,
             self.hp,
+            measure=measure,
         )

@@ -42,14 +42,110 @@ class StageMemoryMap:
     extras: dict = field(default_factory=dict)
 
 
-def read_process_rss_bytes() -> int:
-    """Linux /proc/self/statm reader (the reference has per-OS readers,
-    memory_tracker.rs:170-249; this environment is Linux)."""
+def _read_rss_linux() -> int:
     try:
         fields = Path("/proc/self/statm").read_text().split()
         return int(fields[1]) * 4096  # resident pages × page size
     except (OSError, IndexError, ValueError):
         return 0
+
+
+def _read_rss_windows() -> int:
+    """GetProcessMemoryInfo → WorkingSetSize (memory_tracker.rs:196-218)."""
+    try:
+        import ctypes
+        import ctypes.wintypes as wt
+
+        class PMC(ctypes.Structure):
+            _fields_ = [
+                ("cb", wt.DWORD),
+                ("PageFaultCount", wt.DWORD),
+                ("PeakWorkingSetSize", ctypes.c_size_t),
+                ("WorkingSetSize", ctypes.c_size_t),
+                ("QuotaPeakPagedPoolUsage", ctypes.c_size_t),
+                ("QuotaPagedPoolUsage", ctypes.c_size_t),
+                ("QuotaPeakNonPagedPoolUsage", ctypes.c_size_t),
+                ("QuotaNonPagedPoolUsage", ctypes.c_size_t),
+                ("PagefileUsage", ctypes.c_size_t),
+                ("PeakPagefileUsage", ctypes.c_size_t),
+            ]
+
+        pmc = PMC()
+        pmc.cb = ctypes.sizeof(PMC)
+        h = ctypes.windll.kernel32.GetCurrentProcess()
+        if ctypes.windll.psapi.GetProcessMemoryInfo(
+            h, ctypes.byref(pmc), pmc.cb
+        ):
+            return int(pmc.WorkingSetSize)
+    except Exception:
+        pass
+    return 0
+
+
+def _read_rss_macos() -> int:
+    """libproc proc_pidinfo(PROC_PIDTASKINFO) → pti_resident_size
+    (memory_tracker.rs:220-249)."""
+    try:
+        import ctypes
+        import os
+
+        libproc = ctypes.CDLL("libproc.dylib")
+        PROC_PIDTASKINFO = 4
+
+        class ProcTaskInfo(ctypes.Structure):
+            _fields_ = [
+                ("pti_virtual_size", ctypes.c_uint64),
+                ("pti_resident_size", ctypes.c_uint64),
+                ("pti_total_user", ctypes.c_uint64),
+                ("pti_total_system", ctypes.c_uint64),
+                ("pti_threads_user", ctypes.c_uint64),
+                ("pti_threads_system", ctypes.c_uint64),
+                ("pti_policy", ctypes.c_int32),
+                ("pti_faults", ctypes.c_int32),
+                ("pti_pageins", ctypes.c_int32),
+                ("pti_cow_faults", ctypes.c_int32),
+                ("pti_messages_sent", ctypes.c_int32),
+                ("pti_messages_received", ctypes.c_int32),
+                ("pti_syscalls_mach", ctypes.c_int32),
+                ("pti_syscalls_unix", ctypes.c_int32),
+                ("pti_csw", ctypes.c_int32),
+                ("pti_threadnum", ctypes.c_int32),
+                ("pti_numrunning", ctypes.c_int32),
+                ("pti_priority", ctypes.c_int32),
+            ]
+
+        info = ProcTaskInfo()
+        n = libproc.proc_pidinfo(
+            os.getpid(), PROC_PIDTASKINFO, 0,
+            ctypes.byref(info), ctypes.sizeof(info),
+        )
+        if n >= ctypes.sizeof(info):
+            return int(info.pti_resident_size)
+    except Exception:
+        pass
+    return 0
+
+
+def _pick_rss_reader():
+    import sys
+
+    if sys.platform.startswith("linux"):
+        return _read_rss_linux
+    if sys.platform == "win32":
+        return _read_rss_windows
+    if sys.platform == "darwin":
+        return _read_rss_macos
+    return lambda: 0
+
+
+_rss_reader = _pick_rss_reader()
+
+
+def read_process_rss_bytes() -> int:
+    """Current process resident set size. Per-OS readers mirror the
+    reference's (memory_tracker.rs:170-249): Linux /proc/self/statm,
+    Windows GetProcessMemoryInfo, macOS proc_pidinfo."""
+    return _rss_reader()
 
 
 def device_memory_snapshot() -> Optional[DeviceMemorySnapshot]:

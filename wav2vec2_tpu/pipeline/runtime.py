@@ -162,13 +162,26 @@ class ForcedAligner:
             token_sequence,
         )
 
-    def _group(self, path_states, token_sequence, evidence):
+    def _group(self, path_states, token_sequence, evidence, measure=None):
         """Route through the injected WordGrouper; the default grouper
-        exposes a profiled variant, custom ones are wrapped."""
+        exposes a profiled variant, custom ones are wrapped. `measure` is
+        the optional memory-tracker hook for the confidence block; custom
+        groupers that don't accept it are called without."""
         if hasattr(self.word_grouper, "group_words_profiled"):
-            return self.word_grouper.group_words_profiled(
+            import inspect
+
+            fn = self.word_grouper.group_words_profiled
+            kwargs = {}
+            if measure is not None:
+                try:
+                    if "measure" in inspect.signature(fn).parameters:
+                        kwargs["measure"] = measure
+                except (TypeError, ValueError):
+                    pass
+            return fn(
                 path_states, token_sequence, evidence,
                 self.blank_id, self.word_sep_id, self._frame_stride_ms,
+                **kwargs,
             )
         from ..align.grouping import ProfiledWordGroupingOutput
 
@@ -314,10 +327,24 @@ class ForcedAligner:
         )
         dp_ms = (time.perf_counter() - t0) * 1000.0
 
-        evidence = self._frame_evidence(forward_output, token_sequence, path_states)
+        # "post" maps to the device-side log-prob post-processing here: the
+        # reference's post stage is the log-softmax (model_runtime.rs), which
+        # this backend fuses into the forward graph; the remaining post-work
+        # over the [T, V] log-probs is the evidence extraction.
+        evidence = tracker.measure(
+            "post", backend.synchronize,
+            lambda: self._frame_evidence(
+                forward_output, token_sequence, path_states
+            ),
+        )
         grouped = tracker.measure(
             "group", backend.synchronize,
-            lambda: self._group(path_states, token_sequence, evidence),
+            lambda: self._group(
+                path_states, token_sequence, evidence,
+                measure=lambda stage, fn: tracker.measure(
+                    stage, backend.synchronize, fn
+                ),
+            ),
         )
         backend.synchronize()
         align_ms = (time.perf_counter() - t_align0) * 1000.0
