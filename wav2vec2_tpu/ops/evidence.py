@@ -40,6 +40,57 @@ def _evidence_kernel(log_probs, tokens, path, blank_id):
     return emit_lp, margin, blank_prob, entropy
 
 
+@partial(jax.jit, static_argnames=("backend", "interpret"))
+def _fused_dp_evidence_kernel(log_probs, tokens, t_len, s_len, blank_id,
+                              backend, interpret):
+    """Viterbi DP + evidence extraction in ONE jitted graph — the
+    single-utterance latency path: one dispatch + one fetch instead of two
+    synced stages (each stage boundary costs a host round-trip; ~30 ms each
+    through this machine's TPU tunnel)."""
+    if backend == "pallas":
+        from .viterbi_pallas import viterbi_pallas_single
+
+        path = viterbi_pallas_single(log_probs, tokens, t_len, s_len,
+                                     interpret=interpret)
+    elif backend == "pallas-hbm":
+        from .viterbi_pallas import viterbi_pallas_single_hbm
+
+        path = viterbi_pallas_single_hbm(log_probs, tokens, t_len, s_len,
+                                         interpret=interpret)
+    else:
+        from .viterbi_ref import viterbi_single
+
+        path = viterbi_single(log_probs, tokens, t_len, s_len)
+    emit_lp, margin, blank_prob, entropy = _evidence_kernel(
+        log_probs, tokens, path, blank_id
+    )
+    return path, emit_lp, margin, blank_prob, entropy
+
+
+def fused_path_evidence(
+    log_probs: jnp.ndarray,
+    tokens: jnp.ndarray,
+    t_len: int,
+    s_len: int,
+    blank_id: int,
+    backend: str,
+    interpret: bool = False,
+) -> tuple[np.ndarray, FrameEvidence]:
+    """One device round-trip: (path [t_len], FrameEvidence)."""
+    path, emit_lp, margin, blank_prob, entropy = jax.device_get(
+        _fused_dp_evidence_kernel(
+            log_probs, tokens, jnp.int32(t_len), jnp.int32(s_len),
+            jnp.int32(blank_id), backend, interpret,
+        )
+    )
+    return path[:t_len], FrameEvidence(
+        emit_lp=emit_lp[:t_len],
+        margin=margin[:t_len],
+        blank_prob=blank_prob[:t_len].astype(np.float64),
+        entropy=entropy[:t_len],
+    )
+
+
 def compute_frame_evidence_device(
     log_probs: jnp.ndarray,
     tokens: jnp.ndarray,

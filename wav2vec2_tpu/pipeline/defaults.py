@@ -95,6 +95,47 @@ class ViterbiSequenceAligner:
         return np.asarray(path)[:t_len]
 
 
+    def align_path_with_evidence(
+        self, forward_output: ForwardOutput, tokens: list[int], blank_id: int
+    ):
+        """Latency path: DP + evidence extraction as ONE jitted graph with a
+        single device fetch (each extra synced stage costs a host round-trip
+        — ~30 ms through a network-attached TPU). Returns (path_states
+        [t_len], FrameEvidence), or None when the dispatch picks the host
+        numpy oracle (small T·S below `kernel_dp_threshold`) — the caller
+        then runs the classic two-step path."""
+        import jax.numpy as jnp
+
+        t_len = forward_output.t_len
+        s_len = len(tokens)
+        if self.force_backend == "numpy" or (
+            self.force_backend is None
+            and t_len * s_len < self.hp.kernel_dp_threshold
+        ):
+            return None
+        lp = forward_output.log_probs
+        if not hasattr(lp, "block_until_ready"):
+            lp = jnp.asarray(lp, dtype=jnp.float32)
+
+        backend = self.force_backend or "device"
+        if backend == "device":
+            from ..ops.viterbi_pallas import fits_vmem, on_tpu
+
+            if not on_tpu():
+                backend = "scan"
+            elif fits_vmem(t_len, s_len):
+                backend = "pallas"
+            else:
+                backend = "pallas-hbm"
+        from ..ops.evidence import fused_path_evidence
+        from ..ops.viterbi_pallas import on_tpu as _on_tpu
+
+        return fused_path_evidence(
+            lp, jnp.asarray(tokens, dtype=jnp.int32), t_len, s_len, blank_id,
+            backend=backend, interpret=not _on_tpu(),
+        )
+
+
 class DefaultWordGrouper:
     def __init__(self, hp: AlignerHyperParams | None = None):
         self.hp = hp or AlignerHyperParams()

@@ -148,10 +148,9 @@ class ForcedAligner:
                 f"audio too short for transcript: {t_len} frames < {min_frames} required"
             )
 
-        path_states = self.sequence_aligner.align_path(
-            forward_output, token_sequence.tokens
+        path_states, evidence = self._path_and_evidence(
+            forward_output, token_sequence
         )
-        evidence = self._frame_evidence(forward_output, token_sequence, path_states)
         grouped = self._group(path_states, token_sequence, evidence)
         stats = _utterance_frame_stats(
             path_states, token_sequence.tokens, self.blank_id, evidence
@@ -161,6 +160,22 @@ class ForcedAligner:
             grouped,
             token_sequence,
         )
+
+    def _path_and_evidence(self, forward_output, token_sequence):
+        """DP + evidence with as few device syncs as possible: the default
+        sequence aligner fuses both into one jitted graph + one fetch
+        (latency path); other aligners (or the small-utterance host oracle)
+        run the classic two-step sequence."""
+        fused = getattr(self.sequence_aligner, "align_path_with_evidence", None)
+        if fused is not None:
+            res = fused(forward_output, token_sequence.tokens, self.blank_id)
+            if res is not None:
+                return res
+        path_states = self.sequence_aligner.align_path(
+            forward_output, token_sequence.tokens
+        )
+        evidence = self._frame_evidence(forward_output, token_sequence, path_states)
+        return path_states, evidence
 
     def _group(self, path_states, token_sequence, evidence, measure=None):
         """Route through the injected WordGrouper; the default grouper
@@ -215,7 +230,13 @@ class ForcedAligner:
 
     def align_profiled(self, input: AlignmentInput) -> ProfiledAlignmentOutput:
         """Benchmark-grade instrumented pass (runtime.rs:140-303): device
-        sync at every stage boundary; dp+conf+group == align_ms exactly."""
+        sync at every stage boundary; dp+conf+group == align_ms exactly.
+
+        With the default sequence aligner, dp_ms covers the fused
+        DP+evidence graph (one sync instead of two — on a network-attached
+        TPU every extra sync costs a full host round-trip); per-substage
+        attribution lives in align_profiled_with_memory, which keeps the
+        stages separate."""
         backend = self.runtime_backend
         if not self._check_input(input):
             return self._empty_profiled()
@@ -242,13 +263,12 @@ class ForcedAligner:
             )
 
         t0 = time.perf_counter()
-        path_states = self.sequence_aligner.align_path(
-            forward_output, token_sequence.tokens
+        path_states, evidence = self._path_and_evidence(
+            forward_output, token_sequence
         )
         np.asarray(path_states)
         dp_ms = (time.perf_counter() - t0) * 1000.0
 
-        evidence = self._frame_evidence(forward_output, token_sequence, path_states)
         grouped = self._group(path_states, token_sequence, evidence)
         backend.synchronize()
         align_ms = (time.perf_counter() - t_align0) * 1000.0
