@@ -69,6 +69,17 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--offset", type=int, default=int(_env("OFFSET", "0")))
     p.add_argument("--device", default=_env("DEVICE", "tpu"))
     p.add_argument(
+        "--runtime", default=_env("RUNTIME", "jax"), choices=["jax", "onnx"],
+        help="model runtime backend (the reference CLI's candle/onnx "
+             "selection, alignment_report.rs:180-249); onnx runs "
+             "single-utterance through onnxruntime",
+    )
+    p.add_argument(
+        "--onnx-model", default=_env("ONNX_MODEL"),
+        help="path to the exported .onnx graph (default: "
+             "MODEL_DIR/model.onnx)",
+    )
+    p.add_argument(
         "--compute-dtype", default=_env("COMPUTE_DTYPE", "float32"),
         choices=["float32", "bfloat16"],
     )
@@ -103,6 +114,36 @@ def build_arg_parser() -> argparse.ArgumentParser:
     return p
 
 
+class _ProgressLine:
+    """Per-case progress on stderr (the reference CLI's indicatif bar,
+    alignment_report.rs): an in-place-updating line with rate + ETA on a
+    TTY, a print every 25 cases otherwise (logs/CI stay readable)."""
+
+    def __init__(self, total: int, label: str = "aligning"):
+        self.total = total
+        self.label = label
+        self.t0 = time.perf_counter()
+        self.tty = sys.stderr.isatty()
+
+    def update(self, done: int) -> None:
+        if self.tty:
+            elapsed = time.perf_counter() - self.t0
+            rate = done / elapsed if elapsed > 0 else 0.0
+            eta = (self.total - done) / rate if rate > 0 else 0.0
+            width = 24
+            filled = int(width * done / self.total) if self.total else width
+            bar = "#" * filled + "-" * (width - filled)
+            print(f"\r[{bar}] {self.label} {done}/{self.total} "
+                  f"({rate:.1f}/s, eta {eta:.0f}s) ",
+                  end="", file=sys.stderr, flush=True)
+        elif done % 25 == 0:
+            print(f"[alignment_report] {done}/{self.total}", file=sys.stderr)
+
+    def finish(self) -> None:
+        if self.tty:
+            print(file=sys.stderr)
+
+
 def _require(path: Path, what: str) -> Path:
     if not path.exists():
         raise SystemExit(f"error: missing {what}: {path}")
@@ -111,11 +152,18 @@ def _require(path: Path, what: str) -> Path:
 
 def _load_model(args):
     """Model dir must contain weights + config.json + vocab.json
-    (alignment_report.rs:964-1006)."""
+    (alignment_report.rs:964-1006). The onnx runtime needs the .onnx graph
+    instead of safetensors weights."""
     model_dir = Path(args.model_dir)
     config_path = _require(model_dir / "config.json", "config.json")
     vocab_path = _require(model_dir / "vocab.json", "vocab.json")
-    weights_path = _require(model_dir / "model.safetensors", "model.safetensors")
+    if args.runtime == "onnx":
+        weights_path = _require(
+            Path(args.onnx_model) if args.onnx_model else model_dir / "model.onnx",
+            "model.onnx",
+        )
+    else:
+        weights_path = _require(model_dir / "model.safetensors", "model.safetensors")
     model_cfg = Wav2Vec2ModelConfig.load(config_path)
     vocab = load_vocab(vocab_path)
     return model_dir, weights_path, config_path, vocab_path, model_cfg, vocab
@@ -152,6 +200,28 @@ def _make_batch_aligner(args, model_cfg, vocab, params):
 def _make_single_aligner(args, model_dir, model_cfg):
     from ..pipeline.builder import ForcedAlignerBuilder
 
+    if args.runtime == "onnx":
+        from ..pipeline.onnx_runtime import OnnxRuntimeBackend
+
+        onnx_device = args.device
+        if onnx_device not in ("cpu", "cuda"):
+            print(f"[alignment_report] ONNX runtime has no '{onnx_device}' "
+                  f"execution provider; using cpu", file=sys.stderr)
+            onnx_device = "cpu"
+        onnx_path = Path(args.onnx_model) if args.onnx_model else (
+            model_dir / "model.onnx"
+        )
+        backend = OnnxRuntimeBackend(onnx_path, model_cfg, device=onnx_device)
+        cfg = Wav2Vec2Config(
+            model_path=str(onnx_path),
+            config_path=str(model_dir / "config.json"),
+            vocab_path=str(model_dir / "vocab.json"),
+            device=onnx_device,
+        )
+        return (
+            ForcedAlignerBuilder(cfg).with_runtime_backend(backend).build()
+        )
+
     cfg = Wav2Vec2Config(
         model_path=str(model_dir / "model.safetensors"),
         config_path=str(model_dir / "config.json"),
@@ -168,6 +238,10 @@ def _make_single_aligner(args, model_dir, model_cfg):
 def run(argv=None) -> int:
     args = build_arg_parser().parse_args(argv)
     t_start = time.perf_counter()
+    if args.runtime == "onnx" and args.batch:
+        # the ONNX backend is single-utterance (batch must be 1, matching
+        # the reference's onnx runtime); the batch engine is XLA-only
+        args.batch = False
 
     from ..utils.device import enable_compilation_cache, ensure_backend
     from ..utils.tracing import configure_logging
@@ -255,14 +329,15 @@ def run(argv=None) -> int:
     else:
         aligner = _make_single_aligner(args, model_dir, model_cfg)
         outputs = []
+        progress = _ProgressLine(len(cases))
         for i, c in enumerate(cases):
             outputs.append(
                 aligner.align(
                     AlignmentInput(16000, audios[i], c.transcript)
                 )
             )
-            if (i + 1) % 25 == 0:
-                print(f"[alignment_report] {i + 1}/{len(cases)}", file=sys.stderr)
+            progress.update(i + 1)
+        progress.finish()
 
     if args.output_format == "textgrid":
         written = 0

@@ -140,9 +140,14 @@ class AlignerHyperParams:
         (0.00, 0.02), (0.20, 0.12), (0.35, 0.28), (0.50, 0.50),
         (0.65, 0.72), (0.80, 0.88), (0.95, 0.97), (1.00, 0.99),
     )
-    # viterbi.rs:9-10 — T*S below which the jnp oracle path is used instead
-    # of launching the Pallas kernel (launch-overhead analog)
-    kernel_dp_threshold: int = 40_000
+    # viterbi.rs:9-10 — T*S below which the host numpy oracle runs instead
+    # of the fused device DP (launch-overhead analog). The reference's GPU
+    # value was 40_000; re-measured on TPU (BENCHMARKS.md dispatch table):
+    # the host oracle is linear (~1 ms / 1k cells) while the fused device
+    # path is flat at one dispatch+fetch round-trip, crossing at ~25-30k
+    # cells even through this machine's ~30 ms tunnel. PCIe-attached hosts
+    # (sub-ms dispatch) should tune this down to ~3_000.
+    kernel_dp_threshold: int = 25_000
 
 
 def load_vocab(path: str | Path) -> dict[str, int]:
