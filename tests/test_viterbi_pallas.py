@@ -132,3 +132,20 @@ def test_all_four_backends_agree_via_pipeline():
     ref = paths["numpy"]
     for name, p in paths.items():
         assert p == ref, name
+
+
+def test_hbm_kernel_large_vocab_falls_back_to_pregathered():
+    """vocab > 128 can't use the one-hot gather variant; the pre-gathered
+    [T, S] emission path must still produce oracle-identical output."""
+    from wav2vec2_tpu.ops.viterbi_pallas import viterbi_pallas_single_hbm
+
+    rng = np.random.default_rng(5)
+    t_len, vocab, s_len = 48, 200, 17
+    lp = rng.normal(size=(t_len, vocab)).astype(np.float32)
+    tokens = np.asarray(rng.integers(0, vocab, size=s_len), np.int32)
+    path = viterbi_pallas_single_hbm(
+        jnp.asarray(lp), jnp.asarray(tokens),
+        jnp.int32(t_len), jnp.int32(s_len), interpret=INTERPRET,
+    )
+    ref = viterbi_numpy(lp, tokens)
+    assert [s for s, _ in ref] == list(np.asarray(path)[:t_len])

@@ -82,6 +82,7 @@ def align_longform(
     compute_dtype: str = "float32",
     hp: AlignerHyperParams | None = None,
     mesh=None,
+    max_chunk_batch: int = 32,
 ) -> AlignmentOutput:
     """Align arbitrarily long audio against its transcript.
 
@@ -118,35 +119,53 @@ def align_longform(
         log_probs = np.asarray(log_softmax_logits(logits))[0]
     else:
         spans = chunk_spans(n, chunk_samples, overlap_samples, stride)
-        # one padded batch over all chunks (bucketed forward)
+        # padded batches over the chunks (bucketed forward); hour-scale
+        # audio produces 100+ chunks, so the forward runs in sub-batches of
+        # max_chunk_batch to bound activation memory (attention scores are
+        # O(B * T_chunk^2))
         n_pad = max(s1 - s0 for s0, s1 in spans)
         batch = np.zeros((len(spans), n_pad), np.float32)
         lens = np.zeros(len(spans), np.int32)
         for i, (s0, s1) in enumerate(spans):
             batch[i, : s1 - s0] = normalized[s0:s1]
             lens[i] = s1 - s0
-        batch_dev, lens_dev = jnp.asarray(batch), jnp.asarray(lens)
-        if mesh is not None:
-            from ..parallel.mesh import batch_sharding
 
-            bs = batch_sharding(mesh)
-            data_size = mesh.shape.get("data", 1)
-            pad_rows = (-batch.shape[0]) % data_size
-            if pad_rows:
-                batch = np.concatenate(
-                    [batch, np.zeros((pad_rows, n_pad), np.float32)]
+        def _forward_slice(batch_np, lens_np):
+            batch_dev, lens_dev = jnp.asarray(batch_np), jnp.asarray(lens_np)
+            real_rows = batch_np.shape[0]
+            if mesh is not None:
+                from ..parallel.mesh import batch_sharding
+
+                bs = batch_sharding(mesh)
+                data_size = mesh.shape.get("data", 1)
+                pad_rows = (-batch_np.shape[0]) % data_size
+                if pad_rows:
+                    batch_np = np.concatenate(
+                        [batch_np, np.zeros((pad_rows, n_pad), np.float32)]
+                    )
+                    lens_np = np.concatenate(
+                        [lens_np, np.ones(pad_rows, np.int32)]
+                    )
+                import jax
+
+                batch_dev = jax.device_put(batch_np, bs)
+                lens_dev = jax.device_put(lens_np, bs)
+            logits = fwd(params, batch_dev, lens_dev)
+            return np.asarray(log_softmax_logits(logits))[:real_rows]
+
+        chunk_lps = []
+        for lo in range(0, len(spans), max_chunk_batch):
+            hi = min(lo + max_chunk_batch, len(spans))
+            # keep the sub-batch shape constant (jit cache) by padding the
+            # final slice with repeat rows
+            rows = list(range(lo, hi)) + [hi - 1] * (
+                max_chunk_batch - (hi - lo) if len(spans) > max_chunk_batch else 0
+            )
+            lp_all = _forward_slice(batch[rows], lens[rows])
+            for j, i in enumerate(range(lo, hi)):
+                chunk_lps.append(
+                    lp_all[j, : model_cfg.conv_output_length(int(lens[i]))]
                 )
-                lens = np.concatenate([lens, np.ones(pad_rows, np.int32)])
-            import jax
-
-            batch_dev = jax.device_put(batch, bs)
-            lens_dev = jax.device_put(lens, bs)
-        logits = fwd(params, batch_dev, lens_dev)
-        lp_all = np.asarray(log_softmax_logits(logits))[: len(spans)]
-        chunk_lps = [
-            lp_all[i, : model_cfg.conv_output_length(int(lens[i]))]
-            for i in range(len(spans))
-        ]
         total_frames = model_cfg.conv_output_length(n)
         log_probs = stitch_log_probs(chunk_lps, spans, stride, total_frames)
 

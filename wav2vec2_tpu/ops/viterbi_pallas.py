@@ -134,7 +134,7 @@ def _viterbi_kernel_resident(tlen_ref, slen_ref, emit_ref, tokneq_ref, path_ref,
     path_ref[:] = path_row
 
 
-def _make_blocked_kernel(bp_in_vmem: bool):
+def _make_blocked_kernel(bp_in_vmem: bool, gather_onehot: bool = False):
     """Banded-Viterbi kernel factory.
 
     Emission rows always stream from HBM through a double-buffered VMEM
@@ -146,14 +146,27 @@ def _make_blocked_kernel(bp_in_vmem: bool):
     viterbi.cu:58-157). DP semantics identical to viterbi_ref (band,
     tie-breaking, final-state rule — viterbi.rs:50-156); equivalence tests
     assert bit-identical paths vs the numpy oracle.
+
+    `gather_onehot`: instead of a pre-gathered [T, S] emission matrix, the
+    kernel streams the RAW [T, V<=128] log-probs and expands each 8-row
+    block to [8, S] on the MXU with a one-hot token matrix (exact: each
+    output sums one x*1.0 against 127 zeros, precision=HIGHEST). This
+    removes the [T, S] f32 emission array from HBM — at hour scale that
+    array alone would not fit next to the backpointers (e.g. T=180k,
+    S=13k: 9.4 GB each) — and halves the DP's HBM traffic.
     """
 
-    def kernel(tlen_ref, slen_ref, emit_hbm, tokneq_ref, path_ref, *rest):
+    def kernel(tlen_ref, slen_ref, emit_hbm, tokneq_ref, *rest):
+        if gather_onehot:
+            onehot_ref, path_ref, *rest = rest
+        else:
+            path_ref, *rest = rest
         if bp_in_vmem:
             bp_ref, emit_buf, sem_in = rest
         else:
             bp_hbm, emit_buf, bp_buf, sem_in, sem_out, sem_bt = rest
-        t_pad, s_pad = emit_hbm.shape
+        t_pad = emit_hbm.shape[0]
+        s_pad = onehot_ref.shape[1] if gather_onehot else emit_hbm.shape[1]
         n_blocks = t_pad // 8
         t_len = tlen_ref[0, 0]
         s_len = slen_ref[0, 0]
@@ -205,9 +218,20 @@ def _make_blocked_kernel(bp_in_vmem: bool):
             def _():
                 fetch_block(b + 1, (b + 1) % 2).start()
 
+            if gather_onehot:
+                # [8, V] @ one-hot [V, S] -> [8, S]: exact gather on the MXU
+                emit_blk = jax.lax.dot_general(
+                    emit_buf[slot], onehot_ref[:],
+                    (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
             for i in range(8):  # static unroll within the block
                 t = b * 8 + i
-                emit = emit_buf[slot, i : i + 1, :]
+                emit = (
+                    emit_blk[i : i + 1, :] if gather_onehot
+                    else emit_buf[slot, i : i + 1, :]
+                )
                 if i == 0:
                     # fold the DP init (viterbi.rs:62-65) into block 0 row 0
                     init_row = jnp.where(s_idx == 0, emit, neg)
@@ -294,6 +318,7 @@ def _make_blocked_kernel(bp_in_vmem: bool):
 
 _KERNEL_BP_VMEM = _make_blocked_kernel(bp_in_vmem=True)
 _KERNEL_BP_HBM = _make_blocked_kernel(bp_in_vmem=False)
+_KERNEL_BP_HBM_GATHER = _make_blocked_kernel(bp_in_vmem=False, gather_onehot=True)
 
 
 def _prepare_inputs(log_probs, tokens):
@@ -380,7 +405,15 @@ def viterbi_pallas_single_hbm(
     s_len: jnp.ndarray,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """HBM-resident-backpointer variant for T·S beyond VMEM (long-form)."""
+    """HBM-resident-backpointer variant for T·S beyond VMEM (long-form).
+
+    With vocab <= 128 (every char-level wav2vec2 CTC head), emissions are
+    gathered IN-KERNEL from the raw [T, V] log-probs via a one-hot MXU dot,
+    so HBM holds only the int32 backpointers — without this, hour-scale
+    audio cannot fit ([T, S] f32 emissions + int32 bp at T=180k, S=13k are
+    ~9.4 GB EACH against 16 GB of HBM), and the DP's HBM traffic halves."""
+    if log_probs.shape[1] <= LANE:
+        return _viterbi_hbm_gather(log_probs, tokens, t_len, s_len, interpret)
     emit, tokneq, t_orig, t_pad, s_pad = _prepare_inputs(log_probs, tokens)
 
     path, _ = pl.pallas_call(
@@ -412,6 +445,59 @@ def viterbi_pallas_single_hbm(
         jnp.reshape(jnp.asarray(s_len, jnp.int32), (1, 1)),
         emit,
         tokneq,
+    )
+    return path[0][:t_orig]
+
+
+def _viterbi_hbm_gather(log_probs, tokens, t_len, s_len, interpret):
+    t_orig = log_probs.shape[0]
+    v = log_probs.shape[1]
+    t_pad = _round_up(max(t_orig, 8), 8)
+    s_pad = _round_up(max(int(tokens.shape[0]), LANE), LANE)
+    tokens_p = jnp.pad(tokens.astype(jnp.int32), (0, s_pad - tokens.shape[0]))
+    lp = log_probs.astype(jnp.float32)
+    lp = jnp.pad(lp, ((0, t_pad - t_orig), (0, LANE - v)))
+    onehot = (
+        tokens_p[None, :] == jnp.arange(LANE, dtype=jnp.int32)[:, None]
+    ).astype(jnp.float32)  # [LANE, s_pad]
+    tokneq = (tokens_p != jnp.roll(tokens_p, 2)).astype(jnp.int32)[None, :]
+
+    path, _ = pl.pallas_call(
+        _KERNEL_BP_HBM_GATHER,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, t_pad), jnp.int32),
+            jax.ShapeDtypeStruct((t_pad, s_pad), jnp.int32),  # bp (HBM scratch)
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),   # raw log-probs [T, 128]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # tokneq
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # one-hot token matrix
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 8, LANE), jnp.float32),   # raw log-prob window
+            pltpu.VMEM((2, 8, s_pad), jnp.int32),    # bp block buffer
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            # hour-scale shapes: one-hot matrix + the [1, T] path/backtrace
+            # rows exceed the default 16 MB scoped budget slightly
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        jnp.reshape(jnp.asarray(t_len, jnp.int32), (1, 1)),
+        jnp.reshape(jnp.asarray(s_len, jnp.int32), (1, 1)),
+        lp,
+        tokneq,
+        onehot,
     )
     return path[0][:t_orig]
 
