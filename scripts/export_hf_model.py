@@ -57,6 +57,12 @@ def main(argv=None) -> int:
     p.add_argument("--out", required=True)
     p.add_argument("--precision", default="fp32",
                    choices=["fp32", "bf16", "tpu-safe-bf16"])
+    p.add_argument("--format", default="safetensors",
+                   choices=["safetensors", "onnx"],
+                   help="onnx additionally writes model.onnx for the "
+                        "onnxruntime backend (requires the onnx package — "
+                        "the reference exporter's dependency gate)")
+    p.add_argument("--onnx-opset", type=int, default=14)
     args = p.parse_args(argv)
 
     try:
@@ -112,6 +118,29 @@ def main(argv=None) -> int:
     n_params = sum(int(np.prod(v.shape)) for v in tensors.values())
     print(f"exported {len(tensors)} tensors ({n_params/1e6:.1f}M params, "
           f"{args.precision}) to {out_dir}", file=sys.stderr)
+
+    if args.format == "onnx":
+        # the graph the onnxruntime backend consumes: [1, N] f32 audio ->
+        # [1, T, V] logits (the reference's export_ctc_model_to_onnx.py
+        # surface). torch's exporter needs the `onnx` package; gate it with
+        # a clear error like the reference's feature flag.
+        try:
+            import onnx  # noqa: F401
+        except ImportError:
+            print("error: --format onnx requires the 'onnx' package "
+                  "(pip install onnx); safetensors export above is complete",
+                  file=sys.stderr)
+            return 2
+        example = torch.randn(1, 16000)
+        torch.onnx.export(
+            model, (example,), str(out_dir / "model.onnx"),
+            input_names=["input_values"], output_names=["logits"],
+            dynamic_axes={"input_values": {1: "samples"},
+                          "logits": {1: "frames"}},
+            opset_version=args.onnx_opset, dynamo=False,
+        )
+        print(f"exported ONNX graph to {out_dir / 'model.onnx'} "
+              f"(opset {args.onnx_opset})", file=sys.stderr)
     return 0
 
 

@@ -54,3 +54,25 @@ def test_export_and_reload(hf_dir, tmp_path, precision, expected_dtype):
     params = load_safetensors_params(out / "model.safetensors", mc)
     assert params["lm_head"]["kernel"].shape == (32, 32)
     assert load_vocab(out / "vocab.json")["|"] == 4
+
+
+def test_export_onnx_gated_without_onnx_package(hf_dir, tmp_path):
+    """--format onnx needs the `onnx` package; when absent (this image) the
+    safetensors export completes and the ONNX step fails with a clear,
+    actionable error + distinct exit code (the reference's feature gate).
+    When onnx IS installed, the graph must be written."""
+    out = tmp_path / "onnx"
+    r = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "export_hf_model.py"),
+         "--model", str(hf_dir), "--out", str(out), "--format", "onnx"],
+        capture_output=True, text=True,
+    )
+    assert (out / "model.safetensors").exists()
+    try:
+        import onnx  # noqa: F401
+
+        assert r.returncode == 0, r.stderr
+        assert (out / "model.onnx").exists()
+    except ImportError:
+        assert r.returncode == 2, r.stderr
+        assert "requires the 'onnx' package" in r.stderr
