@@ -132,7 +132,8 @@ std::vector<Raw> collect(
     const int32_t* tokens, const int32_t* lchar_cp, int32_t s_len,
     const uint32_t* exp_off, const uint32_t* exp_cps, int32_t n_expected,
     const float* emit_lp, const float* margin,
-    int32_t blank_id, int32_t word_sep_id) {
+    int32_t blank_id, int32_t word_sep_id, bool* ok) {
+    *ok = true;
     std::vector<Raw> words;
     std::vector<int32_t> cur_states;
     std::vector<int32_t> cur_lcps;
@@ -172,7 +173,10 @@ std::vector<Raw> collect(
 
     for (int32_t frame = 0; frame < t_len; frame++) {
         int32_t s = path[frame];
-        if (s < 0 || s >= s_len) return words;  // malformed path: bail
+        if (s < 0 || s >= s_len) {  // malformed path: error out, caller falls back
+            *ok = false;
+            return words;
+        }
         int32_t tid = tokens[s];
         if (tid == blank_id) {
             prev_state = s;
@@ -387,9 +391,11 @@ int32_t group_words_native(
         return -2;
 
     auto t0 = clk::now();
+    bool ok = true;
     std::vector<Raw> raw = collect(path, t_len, tokens, lchar_cp, s_len,
                                    exp_off, exp_cps, n_expected,
-                                   emit_lp, margin, blank_id, word_sep_id);
+                                   emit_lp, margin, blank_id, word_sep_id, &ok);
+    if (!ok) return -5;
     auto t1 = clk::now();
     out_timings[0] = std::chrono::duration<double, std::milli>(t1 - t0).count();
 
