@@ -3,7 +3,7 @@
 Metric: real-time factor (audio-seconds aligned per wall-clock second per
 chip) through the full pipeline — wav2vec2-base forward (bf16) →
 log-softmax → fused Pallas Viterbi → device evidence extraction → host
-grouping/confidence — on 64 × 10 s utterances per batch, double-buffered
+grouping/confidence — on 128 × 10 s utterances per batch, double-buffered
 (submit/drain) so host grouping and readback overlap device compute. Random weights (no
 checkpoints in this environment); compute shape/work is identical to real
 weights.
@@ -68,7 +68,7 @@ def main():
     rng = np.random.default_rng(0)
     # shrink the workload off-TPU so the benchmark still completes (CPU
     # fallback exists for robustness, not for representative numbers)
-    batch = 64 if on_tpu else 2
+    batch = 128 if on_tpu else 2
     audio_sec = 10.0
     n = int(audio_sec * 16000)
     s_pad = 256
