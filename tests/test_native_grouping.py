@@ -148,3 +148,77 @@ def test_native_measure_hook_uses_python(monkeypatch):
     assert not called["native"]
     assert stages == ["conf"]
     assert [w.word for w in out.words] == ["A"]
+
+
+def _run_direct(path_states, tokens, chars, expected, lp, hp=None):
+    """Drive both paths with a HAND-BUILT state path (not Viterbi) so
+    guard branches that forced alignment rarely hits get exercised."""
+    hp = hp or AlignerHyperParams()
+    ev = frame_evidence_from_log_probs(lp, tokens, path_states, BLANK_ID)
+    path = [(int(s), t) for t, s in enumerate(path_states)]
+    prev = grouping.NATIVE_GROUPING
+    try:
+        grouping.NATIVE_GROUPING = "require"
+        nat = group_into_words_profiled(
+            path, tokens, chars, expected, ev, BLANK_ID, SEP_ID, STRIDE_MS, hp)
+        grouping.NATIVE_GROUPING = "off"
+        py = group_into_words_profiled(
+            path, tokens, chars, expected, ev, BLANK_ID, SEP_ID, STRIDE_MS, hp)
+    finally:
+        grouping.NATIVE_GROUPING = prev
+    return nat.words, py.words
+
+
+def test_native_sep_flush_guard_matches():
+    """A path that visits the separator while the accumulated word does NOT
+    match the expected word must keep accumulating (path_to_words.rs:59-84)
+    identically in both implementations."""
+    seq = build_token_sequence_case_aware("AB BA", VOCAB, BLANK_ID, SEP_ID)
+    rng = np.random.default_rng(9)
+    logits = rng.normal(size=(24, 33))
+    lp = (logits - np.log(np.exp(logits).sum(1, keepdims=True))).astype(np.float32)
+    # states: [blank A blank B blank | blank B blank A blank]
+    # visit: A, sep-cluster early (word "A" != expected "AB"), B, sep, ...
+    a_state, b_state = 1, 3
+    sep_state = 5
+    path_states = ([0] * 2 + [a_state] * 3 + [sep_state] * 2 +  # early sep: "a" != "ab"
+                   [b_state] * 3 + [sep_state] * 3 +            # now "ab" matches
+                   [7] * 3 + [8] * 0 + [9] * 4 + [10] * 4)
+    path_states = path_states[:24]
+    nat, py = _run_direct(path_states, seq.tokens, seq.chars,
+                          seq.normalized_words, lp)
+    _assert_identical(nat, py, "sep flush guard")
+    assert [w.word for w in py][:1] == ["AB"]
+
+
+def test_native_words_beyond_expected_permissive():
+    """Once produced >= expected, the guard is permissive and extra words
+    flush freely — both paths must agree."""
+    seq = build_token_sequence_case_aware("AB", VOCAB, BLANK_ID, SEP_ID)
+    # force a path that produces "AB" then revisits nothing more — then
+    # append synthetic extra chars via a longer token sequence
+    tokens = list(seq.tokens) + [SEP_ID, 0, VOCAB["C"], 0]
+    chars = list(seq.chars) + ["|", None, "C", None]
+    rng = np.random.default_rng(10)
+    logits = rng.normal(size=(20, 33))
+    lp = (logits - np.log(np.exp(logits).sum(1, keepdims=True))).astype(np.float32)
+    path_states = ([1] * 3 + [3] * 3 + [5] * 2 +   # AB then sep
+                   [7] * 4 + [8] * 8)               # extra "C" word beyond expected
+    path_states = path_states[:20]
+    nat, py = _run_direct(path_states, tokens, chars,
+                          seq.normalized_words, lp)
+    _assert_identical(nat, py, "beyond expected")
+    assert [w.word for w in py] == ["AB", "C"]
+
+
+def test_native_no_final_sep_flush():
+    """Final flush after the loop (no trailing separator) must agree."""
+    seq = build_token_sequence_case_aware("AB", VOCAB, BLANK_ID, SEP_ID)
+    rng = np.random.default_rng(11)
+    logits = rng.normal(size=(12, 33))
+    lp = (logits - np.log(np.exp(logits).sum(1, keepdims=True))).astype(np.float32)
+    path_states = [0] * 2 + [1] * 4 + [3] * 6
+    nat, py = _run_direct(path_states, seq.tokens, seq.chars,
+                          seq.normalized_words, lp)
+    _assert_identical(nat, py, "final flush")
+    assert [w.word for w in py] == ["AB"]
