@@ -222,3 +222,43 @@ def test_native_no_final_sep_flush():
                           seq.normalized_words, lp)
     _assert_identical(nat, py, "final flush")
     assert [w.word for w in py] == ["AB"]
+
+
+# --- property-based equivalence (hypothesis) ---
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+from wav2vec2_tpu.config import ExpansionPolicyConfig  # noqa: E402
+
+_WORD = st.text(alphabet="ETAONIHS'", min_size=1, max_size=8)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    words=st.lists(_WORD, min_size=1, max_size=6),
+    seed=st.integers(0, 2**31 - 1),
+    t_extra=st.integers(0, 150),
+    scale=st.floats(0.3, 4.0),
+    budgets=st.tuples(st.integers(0, 20), st.integers(0, 20),
+                      st.integers(0, 20)),
+)
+def test_native_matches_python_property(words, seed, t_extra, scale, budgets):
+    """For arbitrary transcripts, logit scales, and expansion budgets the
+    native engine must equal the Python oracle bit-for-bit."""
+    transcript = " ".join(words)
+    seq = build_token_sequence_case_aware(transcript, VOCAB, BLANK_ID, SEP_ID)
+    if not seq.tokens:
+        return
+    t_len = -(-len(seq.tokens) // 2) + 1 + t_extra
+    rng = np.random.default_rng(seed)
+    logits = rng.normal(0, scale, size=(t_len, 33))
+    lp = (logits - np.log(np.exp(logits).sum(1, keepdims=True))).astype(np.float32)
+    hp = AlignerHyperParams(
+        expansion_policies=(
+            ExpansionPolicyConfig("balanced", *budgets),
+            ExpansionPolicyConfig("conservative_start", 10, 2, 6),
+            ExpansionPolicyConfig("aggressive_tail", 16, 4, 2),
+        )
+    )
+    nat, py = _both_paths(transcript, lp, hp=hp)
+    _assert_identical(nat, py, f"{transcript!r} seed={seed} budgets={budgets}")
