@@ -193,3 +193,41 @@ def test_device_resident_batch_padded_to_mesh_multiple(setup):
     # padded replica rows beyond b are ignored; real rows must match exactly
     np.testing.assert_array_equal(got[0][:b], want[0][:b])  # paths
     np.testing.assert_array_equal(got[1][:b], want[1][:b])  # t_lens
+
+
+def test_batch_aligner_concurrent_submit_thread_safety(setup):
+    """Two threads driving one BatchAligner concurrently must both get
+    results identical to serial execution (the shared-state discipline the
+    reference gets from Rust ownership; JAX dispatch is thread-safe and the
+    engine holds no mutable per-call state)."""
+    import threading
+
+    batch, _ = setup
+    rng = np.random.default_rng(7)
+    audios = [rng.normal(size=3000).astype(np.float32) for _ in range(4)]
+    transcripts = ["ab ca", "ba", "ab ba", "ca"]
+
+    serial = batch.align_utterances(audios, transcripts,
+                                    audio_multiple=500, token_multiple=16)
+    results = {}
+    errors = []
+
+    def worker(tag):
+        try:
+            results[tag] = batch.align_utterances(
+                audios, transcripts, audio_multiple=500, token_multiple=16)
+        except Exception as e:  # pragma: no cover - failure reporting
+            errors.append((tag, e))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    for tag, outs in results.items():
+        for a, b in zip(serial, outs):
+            assert [w.word for w in a.words] == [w.word for w in b.words], tag
+            for wa, wb in zip(a.words, b.words):
+                assert (wa.start_ms, wa.end_ms) == (wb.start_ms, wb.end_ms)
+                assert wa.confidence == wb.confidence
