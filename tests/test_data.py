@@ -284,3 +284,33 @@ def test_extract_audio_id_fuzzy():
     assert extract_audio_id("19-198-0001.TextGrid") == "19-198-0001"
     assert extract_audio_id("19-198-0001") == "19-198-0001"
     assert extract_audio_id("a\\b\\x.wav") == "x"
+
+
+def test_flac_installed_layout_fallback(monkeypatch, tmp_path):
+    """When the repo's native/ dir is absent (installed wheel), the loader
+    must pick up the setup.py-built in-package extension."""
+    import subprocess as sp
+    import sys as _sys
+    from pathlib import Path as _P
+
+    import wav2vec2_tpu.data.flac as flac
+
+    repo = _P(flac.__file__).resolve().parents[2]
+    if not list((repo / "wav2vec2_tpu").glob("_flacdec*.so")):
+        r = sp.run([_sys.executable, "setup.py", "build_ext", "--inplace"],
+                   cwd=repo, capture_output=True, text=True)
+        if r.returncode != 0:
+            pytest.skip(f"cannot build in-package extension: {r.stderr[-200:]}")
+
+    monkeypatch.setattr(flac, "_lib", None)
+    monkeypatch.setattr(flac, "_NATIVE_DIR", tmp_path / "no_native_dir")
+    monkeypatch.setattr(flac, "_LIB_PATH", tmp_path / "no_native_dir" / "x.so")
+    lib = flac._load_library()
+    assert lib is not None
+    # round-trip through the fallback library
+    x = rand_pcm(2000, seed=9)
+    p = tmp_path / "f.flac"
+    write_flac(p, x, 16000)
+    got, rate = read_flac_mono(p)
+    assert rate == 16000 and len(got) == 2000
+    monkeypatch.setattr(flac, "_lib", None)  # restored by monkeypatch teardown

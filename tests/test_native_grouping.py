@@ -262,3 +262,30 @@ def test_native_matches_python_property(words, seed, t_extra, scale, budgets):
     )
     nat, py = _both_paths(transcript, lp, hp=hp)
     _assert_identical(nat, py, f"{transcript!r} seed={seed} budgets={budgets}")
+
+
+def test_grouping_installed_layout_fallback(monkeypatch, tmp_path):
+    """Installed-wheel layout: loader falls back to the in-package
+    setup.py-built extension when native/ is absent."""
+    import subprocess as sp
+    import sys as _sys
+
+    repo = Path(native_mod.__file__).resolve().parents[3]
+    if not list((repo / "wav2vec2_tpu").glob("_grouping*.so")):
+        r = sp.run([_sys.executable, "setup.py", "build_ext", "--inplace"],
+                   cwd=repo, capture_output=True, text=True)
+        if r.returncode != 0:
+            pytest.skip(f"cannot build in-package extension: {r.stderr[-200:]}")
+
+    monkeypatch.setattr(native_mod, "_lib", None)
+    monkeypatch.setattr(native_mod, "_lib_failed", False)
+    monkeypatch.setattr(native_mod, "_NATIVE_DIR", tmp_path / "no_native")
+    monkeypatch.setattr(native_mod, "_LIB_PATH", tmp_path / "no_native" / "x.so")
+    assert native_mod.native_available()
+    # run an alignment through the fallback engine and cross-check
+    rng = np.random.default_rng(3)
+    logits = rng.normal(size=(60, 33))
+    lp = (logits - np.log(np.exp(logits).sum(1, keepdims=True))).astype(np.float32)
+    nat, py = _both_paths("THE CAT", lp)
+    _assert_identical(nat, py, "installed layout")
+    monkeypatch.setattr(native_mod, "_lib", None)

@@ -111,12 +111,24 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _lib_failed:
             return _lib
         try:
+            lib_path = _LIB_PATH
             if _needs_build():
-                subprocess.run(
-                    ["make", "-C", str(_NATIVE_DIR), "libgrouping.so"],
-                    check=True, capture_output=True, text=True,
-                )
-            lib = ctypes.CDLL(str(_LIB_PATH))
+                try:
+                    subprocess.run(
+                        ["make", "-C", str(_NATIVE_DIR), "libgrouping.so"],
+                        check=True, capture_output=True, text=True,
+                    )
+                except (subprocess.CalledProcessError, FileNotFoundError):
+                    # installed-package layout: setup.py builds the engine
+                    # as wav2vec2_tpu/_grouping*.so (dlopen'd, not imported)
+                    pkg_dir = Path(__file__).resolve().parents[2]
+                    hits = (sorted(pkg_dir.glob("_grouping*.so"))
+                            + sorted(pkg_dir.glob("_grouping*.dylib"))
+                            + sorted(pkg_dir.glob("_grouping*.pyd")))
+                    if not hits:
+                        raise
+                    lib_path = hits[0]
+            lib = ctypes.CDLL(str(lib_path))
             lib.group_words_native.restype = ctypes.c_int32
             lib.group_words_native.argtypes = [
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,   # path

@@ -43,10 +43,21 @@ def _needs_build() -> bool:
     return src.exists() and src.stat().st_mtime > _LIB_PATH.stat().st_mtime
 
 
+def _installed_lib() -> Path | None:
+    """Installed-package layout: setup.py builds the decoder as
+    wav2vec2_tpu/_flacdec*.so (dlopen'd, never imported)."""
+    pkg_dir = Path(__file__).resolve().parent.parent
+    hits = sorted(pkg_dir.glob("_flacdec*.so")) + sorted(
+        pkg_dir.glob("_flacdec*.dylib")
+    ) + sorted(pkg_dir.glob("_flacdec*.pyd"))
+    return hits[0] if hits else None
+
+
 def _load_library() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
+    lib_path = _LIB_PATH
     if _needs_build():
         try:
             subprocess.run(
@@ -54,11 +65,14 @@ def _load_library() -> ctypes.CDLL:
                 check=True, capture_output=True, text=True,
             )
         except (subprocess.CalledProcessError, FileNotFoundError) as e:
-            detail = getattr(e, "stderr", str(e))
-            raise RuntimeBackendError(
-                "build flac decoder", f"make failed: {detail}"
-            ) from e
-    lib = ctypes.CDLL(str(_LIB_PATH))
+            installed = _installed_lib()
+            if installed is None:
+                detail = getattr(e, "stderr", str(e))
+                raise RuntimeBackendError(
+                    "build flac decoder", f"make failed: {detail}"
+                ) from e
+            lib_path = installed
+    lib = ctypes.CDLL(str(lib_path))
     lib.flac_decode_file.argtypes = [ctypes.c_char_p, ctypes.POINTER(_FlacDecoded)]
     lib.flac_decode_file.restype = ctypes.c_int
     lib.flac_decode_buffer.argtypes = [
