@@ -101,3 +101,28 @@ def test_longform_sharded_chunks_match_unsharded(tiny_model):
     assert [w.word for w in plain.words] == [w.word for w in sharded.words]
     for a, b in zip(plain.words, sharded.words):
         assert (a.start_ms, a.end_ms) == (b.start_ms, b.end_ms)
+
+
+def test_longform_results_independent_of_chunk_sub_batching(tiny_model):
+    """The hour-scale forward runs in sub-batches of max_chunk_batch; word
+    output must not depend on the sub-batch size (regression for the
+    round-2 sub-batching change)."""
+    cfg, params, vocab = tiny_model
+    rng = np.random.default_rng(5)
+    audio = rng.normal(size=64_000).astype(np.float32)  # 4 s, 1 s chunks
+    transcript = "ab ba ab ba ab ba"
+    outs = [
+        align_longform(audio, transcript, params, cfg, vocab,
+                       chunk_sec=1.0, overlap_sec=0.25, sample_rate=16000,
+                       max_chunk_batch=mcb)
+        for mcb in (2, 3, 32)
+    ]
+    base = outs[0]
+    assert [w.word for w in base.words] == transcript.split()
+    for other in outs[1:]:
+        assert [w.word for w in other.words] == [w.word for w in base.words]
+        for wa, wb in zip(base.words, other.words):
+            assert (wa.start_ms, wa.end_ms) == (wb.start_ms, wb.end_ms)
+            # forward log-probs differ at float noise across batch SHAPES
+            # (XLA reduction tiling); boundaries must still be exact
+            assert wa.confidence == pytest.approx(wb.confidence, abs=1e-6)
