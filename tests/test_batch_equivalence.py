@@ -231,3 +231,49 @@ def test_batch_aligner_concurrent_submit_thread_safety(setup):
             for wa, wb in zip(a.words, b.words):
                 assert (wa.start_ms, wa.end_ms) == (wb.start_ms, wb.end_ms)
                 assert wa.confidence == wb.confidence
+
+
+def test_stable_layer_norm_family_full_pipeline():
+    """The -large/XLSR architecture variant (pre-norm encoder, per-layer
+    LayerNorm feature extractor, conv biases) through BOTH the single and
+    batch pipelines — words and boundaries must agree exactly. The base
+    family covers the other branch everywhere else."""
+    import jax
+
+    from wav2vec2_tpu.models.params import init_params
+    from wav2vec2_tpu.parallel.batching import BatchAligner
+
+    cfg = Wav2Vec2ModelConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, conv_dim=[16, 16], conv_kernel=[10, 3],
+        conv_stride=[5, 2], num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4, pad_token_id=0, vocab_size=8,
+        do_stable_layer_norm=True, feat_extract_norm="layer", conv_bias=True,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(1))
+    vocab = {"a": 1, "b": 2, "|": 3, "c": 4}
+    batch = BatchAligner(cfg, params, vocab, compute_dtype="float32",
+                         use_pallas=False)
+    backend = JaxRuntimeBackend(cfg, params, compute_dtype="float32",
+                                pad_multiple=500)
+    single = ForcedAligner(
+        runtime_backend=backend, vocab=vocab, blank_id=0, word_sep_id=3,
+        frame_stride_ms=cfg.frame_stride_ms(16000),
+        expected_sample_rate_hz=16000,
+        tokenizer=CaseAwareTokenizer(),
+        sequence_aligner=ViterbiSequenceAligner(),
+        word_grouper=DefaultWordGrouper(),
+    )
+    rng = np.random.default_rng(3)
+    lens = [4000, 2600, 3333]
+    audios = [rng.normal(size=n).astype(np.float32) for n in lens]
+    transcripts = ["ab ca", "ba", "ab ba ca"]
+    batch_out = batch.align_utterances(
+        audios, transcripts, audio_multiple=500, token_multiple=16)
+    for audio, transcript, got in zip(audios, transcripts, batch_out):
+        expected = single.align(AlignmentInput(16000, audio, transcript))
+        assert [w.word for w in got.words] == [w.word for w in expected.words]
+        assert len(got.words) == len(transcript.split())
+        for gw, ew in zip(got.words, expected.words):
+            assert (gw.start_ms, gw.end_ms) == (ew.start_ms, ew.end_ms)
+            assert gw.confidence == pytest.approx(ew.confidence, abs=1e-6)
