@@ -153,3 +153,46 @@ def test_compute_dtype_aliases(tmp_path):
     JaxRuntimeBackend(cfg, params, compute_dtype="bfloat16")
     with pytest.raises(RuntimeBackendError, match="dtype"):
         JaxRuntimeBackend(cfg, params, compute_dtype="float16")
+
+
+def test_ensure_backend_falls_back_to_cpu(monkeypatch):
+    """Platform init failure degrades to CPU with a warning instead of
+    crashing (SURVEY §5 failure-detection chain, viterbi.rs:13-30 analog)."""
+    import jax
+
+    import wav2vec2_tpu.utils.device as dev
+
+    calls = {"n": 0}
+
+    class _FakeDev:
+        platform = "cpu"
+
+    def fake_devices():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("plugin exploded")
+        return [_FakeDev()]
+
+    monkeypatch.setattr(dev, "_checked", False)
+    monkeypatch.setattr(jax, "devices", fake_devices)
+    assert dev.ensure_backend() == "cpu"
+    assert calls["n"] == 2
+
+
+def test_ensure_backend_reraises_after_first_success(monkeypatch):
+    """Once a backend initialized, later RuntimeErrors are real errors, not
+    initialization failures — they must propagate."""
+    import jax
+
+    import wav2vec2_tpu.utils.device as dev
+
+    monkeypatch.setattr(dev, "_checked", True)
+
+    def fake_devices():
+        raise RuntimeError("device lost")
+
+    monkeypatch.setattr(jax, "devices", fake_devices)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="device lost"):
+        dev.ensure_backend()
