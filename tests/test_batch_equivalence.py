@@ -277,3 +277,48 @@ def test_stable_layer_norm_family_full_pipeline():
         for gw, ew in zip(got.words, expected.words):
             assert (gw.start_ms, gw.end_ms) == (ew.start_ms, ew.end_ms)
             assert gw.confidence == pytest.approx(ew.confidence, abs=1e-6)
+
+
+def test_align_stream_matches_align_utterances(setup):
+    """The streaming API must produce the same outputs as the list API,
+    tagged with input indices, while reading inputs lazily."""
+    batch, _ = setup
+    rng = np.random.default_rng(11)
+    lens = [4000, 2600, 3333, 4000, 0, 2600]
+    audios = [rng.normal(size=n).astype(np.float32) for n in lens]
+    transcripts = ["ab ca", "ba", "ab ba ca", "ca", "ab", "   "]
+
+    want = batch.align_utterances(audios, transcripts,
+                                  audio_multiple=500, token_multiple=16)
+
+    consumed = []
+
+    def lazy_items():
+        for i, (a, t) in enumerate(zip(audios, transcripts)):
+            consumed.append(i)
+            yield a, t
+
+    got = dict(batch.align_stream(lazy_items(), audio_multiple=500,
+                                  token_multiple=16, max_batch=2))
+    assert sorted(got) == list(range(len(audios)))
+    assert consumed == list(range(len(audios)))
+    for i, exp in enumerate(want):
+        assert [w.word for w in got[i].words] == [w.word for w in exp.words]
+        for wa, wb in zip(got[i].words, exp.words):
+            assert (wa.start_ms, wa.end_ms) == (wb.start_ms, wb.end_ms)
+            assert wa.confidence == pytest.approx(wb.confidence, abs=1e-6)
+
+
+def test_align_stream_bounded_in_flight(setup):
+    """With max_batch=1 and max_in_flight=1 every submit forces a drain —
+    results must still be complete and correct."""
+    batch, _ = setup
+    rng = np.random.default_rng(12)
+    audios = [rng.normal(size=3000).astype(np.float32) for _ in range(4)]
+    transcripts = ["ab", "ba", "ca", "ab ba"]
+    got = dict(batch.align_stream(zip(audios, transcripts), audio_multiple=500,
+                                  token_multiple=16, max_batch=1,
+                                  max_in_flight=1))
+    assert sorted(got) == [0, 1, 2, 3]
+    for i, t in enumerate(transcripts):
+        assert [w.word for w in got[i].words] == t.split()

@@ -222,6 +222,107 @@ class BatchAligner:
         out = self.submit_padded_batch(audio, audio_lens, tokens, s_lens)
         return tuple(np.asarray(x) for x in out)
 
+    def align_stream(
+        self,
+        items,
+        audio_multiple: int = 16000,
+        token_multiple: int = 128,
+        max_batch: int = 64,
+        max_in_flight: int = 2,
+    ):
+        """Streaming serving API: consume an iterable of (audio, transcript)
+        and yield (index, AlignmentOutput) with BOUNDED memory — audio is
+        read lazily, buckets submit as they fill, and device work overlaps
+        host grouping (the double-buffered pattern bench.py measures).
+
+        Results arrive in COMPLETION order (bucketing reorders by shape);
+        each is tagged with the input index. Degenerate inputs (empty audio
+        or transcript) yield immediately; an utterance too short for its
+        transcript raises InvalidInputError like align_utterances.
+
+        The CLI's batch mode and align_utterances load everything upfront;
+        this is the path for live feeds and datasets larger than RAM."""
+        from ..errors import InvalidInputError
+        from ..pipeline.runtime import _utterance_frame_stats, normalize_audio
+
+        pending: dict[tuple[int, int], list[tuple[int, np.ndarray, object]]] = {}
+        in_flight: list[tuple[list, tuple[int, int], tuple]] = []
+
+        def submit(entries, key):
+            n_pad, s_pad = key
+            b = len(entries)
+            dtype = (
+                np.asarray(entries[0][1]).dtype
+                if self.normalize_on_device else np.float32
+            )
+            audio = np.zeros((b, n_pad), dtype)
+            tokens = np.zeros((b, s_pad), np.int32)
+            a_l = np.zeros(b, np.int32)
+            s_l = np.zeros(b, np.int32)
+            for j, (_, a, seq) in enumerate(entries):
+                audio[j, : len(a)] = (
+                    a if self.normalize_on_device else normalize_audio(a)
+                )
+                tokens[j, : len(seq.tokens)] = seq.tokens
+                a_l[j] = len(a)
+                s_l[j] = len(seq.tokens)
+            return self.submit_padded_batch(audio, a_l, tokens, s_l)
+
+        def drain(entries, key, handles):
+            paths, t_lens, emit_lp, margin, blank_prob, entropy = (
+                np.asarray(h) for h in handles
+            )
+            for j, (idx, _, seq) in enumerate(entries):
+                t_i = int(t_lens[j])
+                ev = FrameEvidence(
+                    emit_lp=emit_lp[j, :t_i],
+                    margin=margin[j, :t_i],
+                    blank_prob=blank_prob[j, :t_i].astype(np.float64),
+                    entropy=entropy[j, :t_i],
+                )
+                path = [(int(s), t) for t, s in enumerate(paths[j, :t_i])]
+                words = group_into_words(
+                    path, seq.tokens, seq.chars, seq.normalized_words,
+                    ev, self.blank_id, self.word_sep_id, self.stride_ms, self.hp,
+                )
+                stats = _utterance_frame_stats(
+                    paths[j, :t_i], seq.tokens, self.blank_id, ev
+                )
+                yield idx, AlignmentOutput(words=words, frame_stats=stats)
+
+        for idx, (audio, transcript) in enumerate(items):
+            audio = np.asarray(audio)
+            seq = build_token_sequence_case_aware(
+                transcript, self.vocab, self.blank_id, self.word_sep_id
+            )
+            if len(audio) == 0 or not transcript.strip() or not seq.normalized_words:
+                yield idx, AlignmentOutput(words=[])
+                continue
+            t_i = self.cfg.conv_output_length(len(audio))
+            min_frames = -(-len(seq.tokens) // 2)
+            if t_i < min_frames:
+                raise InvalidInputError(
+                    f"utterance {idx}: audio too short for transcript: "
+                    f"{t_i} frames < {min_frames} required"
+                )
+            key = (_round_up(len(audio), audio_multiple),
+                   _round_up(len(seq.tokens), token_multiple))
+            entries = pending.setdefault(key, [])
+            entries.append((idx, audio, seq))
+            if len(entries) >= max_batch:
+                del pending[key]
+                in_flight.append((entries, key, submit(entries, key)))
+                if len(in_flight) > max_in_flight:
+                    yield from drain(*in_flight.pop(0))
+
+        for key in sorted(pending):
+            entries = pending[key]
+            in_flight.append((entries, key, submit(entries, key)))
+            if len(in_flight) > max_in_flight:
+                yield from drain(*in_flight.pop(0))
+        while in_flight:
+            yield from drain(*in_flight.pop(0))
+
     def align_utterances(
         self,
         audios: Sequence[np.ndarray],
