@@ -109,11 +109,11 @@ def main():
                 margin=margin[j, :t_i],
                 blank_prob=blank[j, :t_i].astype(np.float64),
             )
-            path = [(int(s), t) for t, s in enumerate(paths[j, :t_i])]
             out.append(
                 group_into_words(
-                    path, seq.tokens, seq.chars, seq.normalized_words, ev,
-                    0, 4, cfg.frame_stride_ms(16000),
+                    paths[j, :t_i], seq.tokens, seq.chars,
+                    seq.normalized_words, ev, 0, 4,
+                    cfg.frame_stride_ms(16000),
                 )
             )
         return out

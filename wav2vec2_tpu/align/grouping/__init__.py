@@ -120,13 +120,23 @@ def group_into_words_profiled(
     if measure is None and NATIVE_GROUPING != "off":
         from . import native as _native
 
-        n_path = len(path)
-        states = np.fromiter((s for s, _ in path), np.int32, n_path)
-        frames = np.fromiter((f for _, f in path), np.int32, n_path)
-        # native path assumes frame == index (every in-tree caller builds
-        # the path with enumerate); anything else runs the Python oracle
+        # `path` is normally a list of (state, frame) tuples with
+        # frame == index; a plain 1-D state array is accepted as the
+        # zero-copy fast path (the batch/bench drains pass it directly)
+        if isinstance(path, np.ndarray) and path.ndim == 1:
+            states = np.ascontiguousarray(path, np.int32)
+            frames_ok = True
+        else:
+            n_path = len(path)
+            states = np.fromiter((s for s, _ in path), np.int32, n_path)
+            frames = np.fromiter((f for _, f in path), np.int32, n_path)
+            # native path assumes frame == index (every in-tree caller
+            # builds the path with enumerate)
+            frames_ok = bool(
+                np.array_equal(frames, np.arange(n_path, dtype=np.int32))
+            )
         res = None
-        if np.array_equal(frames, np.arange(n_path, dtype=np.int32)):
+        if frames_ok:
             # the Python path's transcript-contract warning stays observable
             if path_to_words._reconstruct_words_from_chars(chars) != list(
                 expected_words
@@ -146,6 +156,9 @@ def group_into_words_profiled(
             )
         if NATIVE_GROUPING == "require":
             raise RuntimeError("native grouping required but unavailable")
+
+    if isinstance(path, np.ndarray):  # array fast-path fell through: the
+        path = [(int(s), t) for t, s in enumerate(path)]  # oracle wants tuples
 
     # --- Block 1: collect raw words from the Viterbi path ---
     t0 = time.perf_counter()

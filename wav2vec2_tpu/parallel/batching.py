@@ -280,9 +280,8 @@ class BatchAligner:
                     blank_prob=blank_prob[j, :t_i].astype(np.float64),
                     entropy=entropy[j, :t_i],
                 )
-                path = [(int(s), t) for t, s in enumerate(paths[j, :t_i])]
                 words = group_into_words(
-                    path, seq.tokens, seq.chars, seq.normalized_words,
+                    paths[j, :t_i], seq.tokens, seq.chars, seq.normalized_words,
                     ev, self.blank_id, self.word_sep_id, self.stride_ms, self.hp,
                 )
                 stats = _utterance_frame_stats(
@@ -409,9 +408,9 @@ class BatchAligner:
                     blank_prob=blank_prob[j, :t_i].astype(np.float64),
                     entropy=entropy[j, :t_i],
                 )
-                path = [(int(s), t) for t, s in enumerate(paths[j, :t_i])]
                 words = group_into_words(
-                    path, seqs[i].tokens, seqs[i].chars, seqs[i].normalized_words,
+                    paths[j, :t_i], seqs[i].tokens, seqs[i].chars,
+                    seqs[i].normalized_words,
                     ev, self.blank_id, self.word_sep_id, self.stride_ms, self.hp,
                 )
                 stats = _utterance_frame_stats(
