@@ -322,3 +322,21 @@ def test_align_stream_bounded_in_flight(setup):
     assert sorted(got) == [0, 1, 2, 3]
     for i, t in enumerate(transcripts):
         assert [w.word for w in got[i].words] == t.split()
+
+
+def test_align_stream_flushes_partial_buckets_at_pending_cap(setup):
+    """Live-feed safety: diverse-length utterances must not wait forever in
+    partially-filled buckets — the fullest bucket flushes at max_pending."""
+    batch, _ = setup
+    rng = np.random.default_rng(13)
+    # lengths chosen so every utterance lands in its own bucket
+    lens = [1000, 1600, 2100, 2600, 3100, 3600]
+    audios = [rng.normal(size=n).astype(np.float32) for n in lens]
+    transcripts = ["ab"] * len(lens)
+    got = dict(batch.align_stream(
+        zip(audios, transcripts), audio_multiple=500, token_multiple=16,
+        max_batch=64, max_in_flight=1, max_pending=3,
+    ))
+    assert sorted(got) == list(range(len(lens)))
+    for i in range(len(lens)):
+        assert [w.word for w in got[i].words] == ["ab"]

@@ -229,6 +229,7 @@ class BatchAligner:
         token_multiple: int = 128,
         max_batch: int = 64,
         max_in_flight: int = 2,
+        max_pending: int = 256,
     ):
         """Streaming serving API: consume an iterable of (audio, transcript)
         and yield (index, AlignmentOutput) with BOUNDED memory — audio is
@@ -239,6 +240,12 @@ class BatchAligner:
         each is tagged with the input index. Degenerate inputs (empty audio
         or transcript) yield immediately; an utterance too short for its
         transcript raises InvalidInputError like align_utterances.
+
+        `max_pending` bounds utterances waiting in partially-filled buckets:
+        on a live feed with diverse lengths, odd shapes would otherwise wait
+        for the end of the stream; when the cap is hit, the fullest pending
+        bucket submits early (a partial batch trades some padding FLOPs for
+        bounded latency/memory).
 
         The CLI's batch mode and align_utterances load everything upfront;
         this is the path for live feeds and datasets larger than RAM."""
@@ -311,6 +318,15 @@ class BatchAligner:
             if len(entries) >= max_batch:
                 del pending[key]
                 in_flight.append((entries, key, submit(entries, key)))
+                if len(in_flight) > max_in_flight:
+                    yield from drain(*in_flight.pop(0))
+            elif sum(len(v) for v in pending.values()) >= max_pending:
+                # bounded wait: flush the fullest partial bucket early
+                flush_key = max(pending, key=lambda k: len(pending[k]))
+                flush_entries = pending.pop(flush_key)
+                in_flight.append(
+                    (flush_entries, flush_key, submit(flush_entries, flush_key))
+                )
                 if len(in_flight) > max_in_flight:
                     yield from drain(*in_flight.pop(0))
 
