@@ -1,0 +1,198 @@
+"""Cross-implementation validation via the torch second-implementation
+driver (scripts/torch_reference_driver.py) — the analog of the reference's
+Python-reference benchmark driver + instrumentation patch
+(wav2vec2aligner_librispeech_textgrids.py, *.perf-monitoring.patch).
+
+Proof chain:
+1. the torch trellis DP produces the identical path to the numpy oracle
+   (both implement viterbi.rs:50-156 independently);
+2. same tiny weights → torch forward and JAX forward log-probs agree;
+3. end-to-end: torch driver baseline TextGrids vs the JAX CLI's `_tpu`
+   TextGrids pass the comparator's pairing and land within one frame;
+4. the driver's perf JSONL is schema-v1 and feeds compare_perf_jsonl.
+"""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+pytest.importorskip("transformers")
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO / "scripts"))
+
+from torch_reference_driver import TorchForcedAligner, run as driver_run  # noqa: E402
+
+from wav2vec2_tpu.data.flac_encoder import write_flac  # noqa: E402
+from wav2vec2_tpu.ops.viterbi_ref import viterbi_numpy  # noqa: E402
+
+CONFIG = dict(
+    hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+    intermediate_size=64, conv_dim=[16, 16], conv_kernel=[10, 3],
+    conv_stride=[5, 2], num_conv_pos_embeddings=16,
+    num_conv_pos_embedding_groups=4, pad_token_id=0, vocab_size=32,
+    do_stable_layer_norm=False, feat_extract_norm="group", conv_bias=False,
+)
+
+
+@pytest.fixture(scope="module")
+def model_dir(tmp_path_factory):
+    import transformers
+    from safetensors.numpy import save_file
+
+    d = tmp_path_factory.mktemp("torch_driver_model")
+    hf_cfg = transformers.Wav2Vec2Config(**CONFIG)
+    torch.manual_seed(7)
+    tm = transformers.Wav2Vec2ForCTC(hf_cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    sd.pop("wav2vec2.masked_spec_embed", None)
+    save_file(sd, str(d / "model.safetensors"))
+    (d / "config.json").write_text(json.dumps(CONFIG))
+    vocab = {"<pad>": 0, "<s>": 1, "</s>": 2, "<unk>": 3, "|": 4}
+    for i, c in enumerate("ETAONIHSRDLUMWCFGYPBVKXJQZ"):
+        vocab[c] = 5 + i
+    (d / "vocab.json").write_text(json.dumps(vocab))
+    return d
+
+
+@pytest.fixture(scope="module")
+def dataset_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("torch_driver_data")
+    base = root / "LibriSpeech" / "test-clean" / "9" / "9"
+    base.mkdir(parents=True)
+    rng = np.random.default_rng(42)
+    lines = []
+    for i, text in enumerate(["HELLO WORLD", "SHE SELLS SEA SHELLS",
+                              "A QUICK BROWN FOX"]):
+        uid = f"9-9-{i:04d}"
+        x = np.clip(np.cumsum(rng.integers(-80, 80, size=24000)), -30000, 30000)
+        write_flac(base / f"{uid}.flac", x.astype(np.int64), 16000)
+        lines.append(f"{uid} {text}")
+    (base / "9-9.trans.txt").write_text("\n".join(lines))
+    return root
+
+
+def test_torch_trellis_matches_numpy_oracle(model_dir):
+    """Independent torch DP vs the numpy scalar oracle: identical paths."""
+    aligner = TorchForcedAligner(model_dir)
+    rng = np.random.default_rng(3)
+    for t_len, text in [(40, "HELLO"), (120, "THE CAT SAT"), (9, "AB")]:
+        tokens, _, _ = aligner.tokenize(text)
+        lp = np.log(
+            rng.dirichlet(np.ones(32), size=t_len).astype(np.float32)
+        )
+        oracle = viterbi_numpy(lp, np.array(tokens))
+        got = aligner.trellis_align(torch.from_numpy(lp), tokens)
+        assert got == oracle, (t_len, text)
+
+
+def test_torch_forward_matches_jax_forward(model_dir, dataset_root):
+    """Same weights → the two implementations' log-probs agree (f32)."""
+    from wav2vec2_tpu.config import Wav2Vec2Config
+    from wav2vec2_tpu.pipeline.builder import ForcedAlignerBuilder
+
+    aligner_t = TorchForcedAligner(model_dir)
+    rng = np.random.default_rng(0)
+    samples = rng.standard_normal(8000).astype(np.float32)
+    normalized = aligner_t.normalize(samples)
+
+    lp_torch = (
+        aligner_t.log_softmax(aligner_t.forward(normalized)).cpu().numpy()
+    )
+
+    cfg = Wav2Vec2Config(
+        model_path=str(model_dir / "model.safetensors"),
+        config_path=str(model_dir / "config.json"),
+        vocab_path=str(model_dir / "vocab.json"),
+    )
+    jax_aligner = (
+        ForcedAlignerBuilder(cfg)
+        .with_backend_options(compute_dtype="float32")
+        .build()
+    )
+    fwd = jax_aligner.runtime_backend.infer(normalized)
+    lp_jax = np.asarray(fwd.log_probs)[: lp_torch.shape[0]]
+
+    assert lp_torch.shape == lp_jax.shape
+    np.testing.assert_allclose(lp_jax, lp_torch, atol=2e-4, rtol=0)
+
+
+def test_cross_implementation_textgrids(model_dir, dataset_root):
+    """Driver baseline TextGrids vs JAX CLI `_tpu` TextGrids through the
+    comparator — the reference's Rust-vs-Python comparison protocol."""
+    from wav2vec2_tpu.cli.alignment_report import run as cli_run
+
+    rc = driver_run([
+        "--model-dir", str(model_dir), "--dataset-root", str(dataset_root),
+        "--output-format", "textgrid", "--progress-every", "0",
+    ])
+    assert rc == 0
+
+    rc = cli_run([
+        "--model-dir", str(model_dir), "--dataset-root", str(dataset_root),
+        "--compute-dtype", "float32", "--output-format", "textgrid",
+        "--textgrid-suffix", "_tpu",
+    ])
+    assert rc == 0
+
+    out = subprocess.run(
+        [sys.executable, "-m", "wav2vec2_tpu.cli.compare_textgrids",
+         str(dataset_root), "--suffix", "_tpu"],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr
+    stats = json.loads(out.stdout)
+    assert stats["pairs_compared"] == 3
+    # Same weights → identical DP paths; the implementations differ only in
+    # expansion-policy selection, so middles stay within one 20 ms frame.
+    assert abs(stats["median_word_middle_diff_ms"]) <= 20.0, stats
+
+
+def test_driver_perf_jsonl_schema_and_comparator(model_dir, dataset_root,
+                                                 tmp_path):
+    """Perf mode: schema-v1 JSONL + summary; feeds compare_perf_jsonl
+    against a JAX-side perf run (the turnkey perf comparison protocol)."""
+    from wav2vec2_tpu.cli.alignment_report import run as cli_run
+
+    torch_out = tmp_path / "torch.jsonl"
+    rc = driver_run([
+        "--model-dir", str(model_dir), "--dataset-root", str(dataset_root),
+        "--output-format", "perf", "--perf-out", str(torch_out),
+        "--perf-warmup", "1", "--perf-repeats", "2", "--limit", "2",
+        "--perf-append", "--progress-every", "0",
+    ])
+    assert rc == 0
+    records = [json.loads(l) for l in torch_out.read_text().splitlines()]
+    assert len(records) == 2
+    for key in ("utterance_id", "num_frames_t", "state_len", "ts_product",
+                "forward_ms", "post_ms", "dp_ms", "group_ms", "conf_ms",
+                "align_ms", "align_ms_per_ts", "align_ms_per_t", "total_ms"):
+        assert key in records[0], key
+    assert abs(records[0]["align_ms"] - (
+        records[0]["dp_ms"] + records[0]["group_ms"] + records[0]["conf_ms"]
+    )) < 0.5  # medians of independent repeats need not sum exactly
+    assert (tmp_path / "torch.jsonl.summary.json").exists()
+
+    jax_out = tmp_path / "jax.jsonl"
+    rc = cli_run([
+        "--model-dir", str(model_dir), "--dataset-root", str(dataset_root),
+        "--compute-dtype", "float32", "--output-format", "perf",
+        "--perf-out", str(jax_out), "--perf-warmup", "1",
+        "--perf-repeats", "2", "--limit", "2", "--perf-append", "--no-batch",
+    ])
+    assert rc == 0
+
+    cmp_json = tmp_path / "cmp.json"
+    out = subprocess.run(
+        [sys.executable, "scripts/compare_perf_jsonl.py",
+         str(torch_out), str(jax_out), "--json", str(cmp_json)],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr
+    cmp = json.loads(cmp_json.read_text())
+    assert cmp["common_utterances"] == 2
