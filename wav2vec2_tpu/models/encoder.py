@@ -31,7 +31,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Wav2Vec2ModelConfig
-from .layers import conv1d, gelu, layer_norm, linear
+from .layers import gelu, layer_norm
+from .quantize import linear_maybe_quantized
 
 
 def pos_conv_forward(
@@ -74,9 +75,9 @@ def _self_attention(
     def split_heads(y):
         return y.reshape(b, t, num_heads, head_dim).transpose(0, 2, 1, 3)
 
-    q = split_heads(linear(x, p["q_proj"]["kernel"], p["q_proj"]["bias"]) * scale)
-    k = split_heads(linear(x, p["k_proj"]["kernel"], p["k_proj"]["bias"]))
-    v = split_heads(linear(x, p["v_proj"]["kernel"], p["v_proj"]["bias"]))
+    q = split_heads(linear_maybe_quantized(x, p["q_proj"]) * scale)
+    k = split_heads(linear_maybe_quantized(x, p["k_proj"]))
+    v = split_heads(linear_maybe_quantized(x, p["v_proj"]))
 
     if x.dtype == jnp.float32:
         scores = jnp.einsum(
@@ -98,12 +99,12 @@ def _self_attention(
         attn = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhqk,bhkd->bhqd", attn, v, preferred_element_type=x.dtype)
     out = out.transpose(0, 2, 1, 3).reshape(b, t, h)
-    return linear(out, p["out_proj"]["kernel"], p["out_proj"]["bias"])
+    return linear_maybe_quantized(out, p["out_proj"])
 
 
 def _feed_forward(p: dict, x: jnp.ndarray) -> jnp.ndarray:
-    up = gelu(linear(x, p["intermediate_dense"]["kernel"], p["intermediate_dense"]["bias"]))
-    return linear(up, p["output_dense"]["kernel"], p["output_dense"]["bias"])
+    up = gelu(linear_maybe_quantized(x, p["intermediate_dense"]))
+    return linear_maybe_quantized(up, p["output_dense"])
 
 
 def _encoder_layer(

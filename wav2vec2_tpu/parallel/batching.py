@@ -144,11 +144,18 @@ class BatchAligner:
         hp: AlignerHyperParams | None = None,
         sample_rate_hz: int = 16000,
         normalize_on_device: bool = False,
+        quantize_int8: bool = False,
     ):
         from ..ops.viterbi_pallas import on_tpu
 
         self.normalize_on_device = normalize_on_device
         self.cfg = _freeze_cfg(model_cfg)
+        if quantize_int8:
+            # opt-in int8 serving mode: encoder projections run on the MXU's
+            # int8 path (~2x bf16 rate on v5e); see models/quantize.py
+            from ..models.quantize import quantize_encoder_int8
+
+            params = quantize_encoder_int8(params)
         self.params = params
         self.vocab = vocab
         self.blank_id = model_cfg.pad_token_id
