@@ -1,0 +1,197 @@
+"""Serving daemon (wav2vec2_tpu/serve.py): micro-batching, HTTP surface,
+error isolation, stats."""
+
+import base64
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+from wav2vec2_tpu.serve import (
+    AlignmentService,
+    build_service_from_model_dir,
+    make_handler,
+)
+
+CONFIG = dict(
+    hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+    intermediate_size=64, conv_dim=[16, 16], conv_kernel=[10, 3],
+    conv_stride=[5, 2], num_conv_pos_embeddings=16,
+    num_conv_pos_embedding_groups=4, pad_token_id=0, vocab_size=32,
+    do_stable_layer_norm=False, feat_extract_norm="group", conv_bias=False,
+)
+
+
+@pytest.fixture(scope="module")
+def model_dir(tmp_path_factory):
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from safetensors.numpy import save_file
+
+    d = tmp_path_factory.mktemp("serve_model")
+    hf_cfg = transformers.Wav2Vec2Config(**CONFIG)
+    torch.manual_seed(0)
+    tm = transformers.Wav2Vec2ForCTC(hf_cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    sd.pop("wav2vec2.masked_spec_embed", None)
+    save_file(sd, str(d / "model.safetensors"))
+    (d / "config.json").write_text(json.dumps(CONFIG))
+    vocab = {"<pad>": 0, "<s>": 1, "</s>": 2, "<unk>": 3, "|": 4}
+    for i, c in enumerate("ETAONIHSRDLUMWCFGYPBVKXJQZ"):
+        vocab[c] = 5 + i
+    (d / "vocab.json").write_text(json.dumps(vocab))
+    return d
+
+
+@pytest.fixture(scope="module")
+def server(model_dir):
+    service, device = build_service_from_model_dir(
+        model_dir, compute_dtype="float32", window_ms=30.0, max_batch=8
+    )
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(service, device)
+    )
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_port}", service
+    httpd.shutdown()
+    service.close()
+
+
+def _post(url, payload, timeout=120):
+    req = urllib.request.Request(
+        url + "/align", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _get(url, path):
+    with urllib.request.urlopen(url + path, timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_healthz(server):
+    url, _ = server
+    status, body = _get(url, "/healthz")
+    assert status == 200 and body["status"] == "ok"
+
+
+def test_align_float_audio(server):
+    url, _ = server
+    rng = np.random.default_rng(0)
+    status, body = _post(url, {
+        "audio": rng.normal(0, 0.1, 8000).astype(float).tolist(),
+        "sample_rate_hz": 16000,
+        "transcript": "HELLO WORLD",
+    })
+    assert status == 200, body
+    assert [w["word"] for w in body["words"]] == ["HELLO", "WORLD"]
+    assert all(w["end_ms"] > w["start_ms"] for w in body["words"])
+    assert body["latency_ms"] > 0 and body["batch_size"] >= 1
+
+
+def test_align_pcm16_base64(server):
+    url, _ = server
+    rng = np.random.default_rng(1)
+    pcm = (rng.normal(0, 0.05, 8000) * 32767).astype("<i2")
+    status, body = _post(url, {
+        "audio": {"pcm16": base64.b64encode(pcm.tobytes()).decode()},
+        "transcript": "THE CAT",
+    })
+    assert status == 200, body
+    assert [w["word"] for w in body["words"]] == ["THE", "CAT"]
+
+
+def test_concurrent_requests_batch(server):
+    url, _ = server
+    rng = np.random.default_rng(2)
+    results = [None] * 6
+
+    def one(i):
+        status, body = _post(url, {
+            "audio": rng.normal(0, 0.1, 8000).astype(float).tolist(),
+            "transcript": "GOOD DAY",
+        })
+        results[i] = (status, body)
+
+    threads = [threading.Thread(target=one, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    assert all(r is not None and r[0] == 200 for r in results), results
+    # at least some coalescing happened under the 30 ms window
+    assert max(r[1]["batch_size"] for r in results) >= 2
+
+
+def test_bad_requests(server):
+    url, _ = server
+    status, body = _post(url, {"audio": [0.0] * 100, "sample_rate_hz": 8000,
+                               "transcript": "A"})
+    assert status == 400 and "16000" in body["error"]
+    status, body = _post(url, {"transcript": "A"})
+    assert status == 400
+
+    # too-short audio for the transcript → isolated 400, server stays up
+    status, body = _post(url, {
+        "audio": [0.01] * 200,
+        "transcript": "AN EXTREMELY LONG TRANSCRIPT THAT CANNOT FIT",
+    })
+    assert status == 400 and "too short" in body["error"]
+    status, _ = _get(url, "/healthz")
+    assert status == 200
+
+
+def test_error_isolation_in_batch(server):
+    """A poison utterance must not fail its batchmates."""
+    url, _ = server
+    rng = np.random.default_rng(3)
+    results = [None] * 4
+
+    def good(i):
+        results[i] = _post(url, {
+            "audio": rng.normal(0, 0.1, 8000).astype(float).tolist(),
+            "transcript": "HELLO",
+        })
+
+    def poison(i):
+        results[i] = _post(url, {
+            "audio": [0.01] * 200,
+            "transcript": "AN EXTREMELY LONG TRANSCRIPT THAT CANNOT FIT",
+        })
+
+    threads = [threading.Thread(target=(poison if i == 1 else good), args=(i,))
+               for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    codes = [r[0] for r in results]
+    assert codes[1] == 400
+    assert all(c == 200 for i, c in enumerate(codes) if i != 1), results
+
+
+def test_stats(server):
+    url, service = server
+    status, body = _get(url, "/stats")
+    assert status == 200
+    assert body["requests"] >= 10
+    assert body["utterances_aligned"] >= 10
+    assert body["errors"] >= 3
+    assert body["audio_seconds"] > 0
+    assert isinstance(body["batch_size_histogram"], dict)
+    assert body["realtime_factor"] is None or body["realtime_factor"] > 0
+
+
+def test_empty_transcript_yields_no_words(server):
+    url, _ = server
+    status, body = _post(url, {"audio": [0.01] * 4000, "transcript": "   "})
+    assert status == 200 and body["words"] == []

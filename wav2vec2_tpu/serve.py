@@ -1,0 +1,315 @@
+"""Production serving daemon: HTTP micro-batching front end over the
+batch alignment engine.
+
+Beyond-parity component (the reference is a library + offline CLI; this is
+the piece a production deployment needs around it): a stdlib-only HTTP
+server that coalesces concurrent align requests into padded device batches
+— the TPU sees large MXU-friendly batches while each caller gets a simple
+request/response API.
+
+Design:
+- requests enqueue into a micro-batch window (default 25 ms or
+  `max_batch`, whichever fills first) serviced by ONE worker thread that
+  owns the TPU — JAX dispatch stays single-threaded (the same discipline
+  as the reference's Mutex around its ONNX session, model_runtime.rs:200)
+  while HTTP threads only parse/wait;
+- batches run through `BatchAligner.align_utterances` (bucketing, padded
+  vmap, async submit/drain inside);
+- endpoints:
+    POST /align    {"audio": [f32...] | {"pcm16": base64, ...},
+                    "sample_rate_hz": 16000, "transcript": "..."}
+                   → {"words": [{word,start_ms,end_ms,confidence}...],
+                      "latency_ms": ..., "batch_size": ...}
+    GET  /healthz  → {"status":"ok","device":...}
+    GET  /stats    → counters (requests, errors, audio seconds, realtime
+                     factor since start, batch-size histogram)
+
+Run:  python -m wav2vec2_tpu.serve --model-dir M [--port 8000]
+      [--window-ms 25] [--max-batch 64] [--compute-dtype bfloat16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import json
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+import numpy as np
+
+from .errors import AlignmentError, InvalidInputError
+from .types import AlignmentOutput
+
+
+@dataclass
+class _Request:
+    audio: np.ndarray
+    transcript: str
+    done: threading.Event = field(default_factory=threading.Event)
+    result: AlignmentOutput | None = None
+    error: Exception | None = None
+    batch_size: int = 0
+    enqueued_at: float = field(default_factory=time.perf_counter)
+
+
+class AlignmentService:
+    """Micro-batching worker around a BatchAligner. Thread-safe submit()."""
+
+    def __init__(self, aligner, window_ms: float = 25.0, max_batch: int = 64,
+                 max_queue: int = 1024):
+        self.aligner = aligner
+        self.window_s = window_ms / 1000.0
+        self.max_batch = max_batch
+        self.queue: queue.Queue[_Request] = queue.Queue(maxsize=max_queue)
+        self.stats_lock = threading.Lock()
+        self.stats = {
+            "requests": 0, "errors": 0, "utterances_aligned": 0,
+            "audio_seconds": 0.0, "busy_seconds": 0.0,
+            "batches": 0, "batch_size_histogram": {},
+            "started_at": time.time(),
+        }
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="align-worker")
+        self._worker.start()
+
+    def submit(self, audio: np.ndarray, transcript: str,
+               timeout_s: float = 120.0) -> tuple[AlignmentOutput, int]:
+        req = _Request(audio=audio, transcript=transcript)
+        self.queue.put(req, timeout=5.0)
+        if not req.done.wait(timeout=timeout_s):
+            raise TimeoutError("alignment timed out")
+        if req.error is not None:
+            raise req.error
+        return req.result, req.batch_size
+
+    def close(self) -> None:
+        self._stop.set()
+        self._worker.join(timeout=10.0)
+
+    # -- worker -----------------------------------------------------------
+
+    def _gather_batch(self) -> list[_Request]:
+        try:
+            first = self.queue.get(timeout=0.2)
+        except queue.Empty:
+            return []
+        batch = [first]
+        deadline = time.perf_counter() + self.window_s
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                batch.append(self.queue.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return batch
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            batch = self._gather_batch()
+            if not batch:
+                continue
+            t0 = time.perf_counter()
+            try:
+                outputs = self.aligner.align_utterances(
+                    [r.audio for r in batch],
+                    [r.transcript for r in batch],
+                    max_batch=self.max_batch,
+                )
+                for r, out in zip(batch, outputs):
+                    r.result = out
+                    r.batch_size = len(batch)
+            except AlignmentError as e:
+                # a bad utterance poisons only its batch; isolate by
+                # retrying each item alone so good requests still succeed
+                if len(batch) == 1:
+                    batch[0].error = e
+                else:
+                    for r in batch:
+                        try:
+                            out = self.aligner.align_utterances(
+                                [r.audio], [r.transcript], max_batch=1
+                            )
+                            r.result = out[0]
+                            r.batch_size = 1
+                        except AlignmentError as e_one:
+                            r.error = e_one
+            except Exception as e:  # backend failure: fail the whole batch
+                for r in batch:
+                    r.error = e
+            busy = time.perf_counter() - t0
+            with self.stats_lock:
+                s = self.stats
+                s["batches"] += 1
+                s["busy_seconds"] += busy
+                hist = s["batch_size_histogram"]
+                hist[str(len(batch))] = hist.get(str(len(batch)), 0) + 1
+                for r in batch:
+                    if r.error is None:
+                        s["utterances_aligned"] += 1
+                        s["audio_seconds"] += len(r.audio) / 16000.0
+            for r in batch:
+                r.done.set()
+
+    def snapshot_stats(self) -> dict:
+        with self.stats_lock:
+            s = dict(self.stats)
+            s["batch_size_histogram"] = dict(s["batch_size_histogram"])
+        busy = s.pop("busy_seconds")
+        s["realtime_factor"] = (
+            round(s["audio_seconds"] / busy, 1) if busy > 0 else None
+        )
+        s["uptime_seconds"] = round(time.time() - s.pop("started_at"), 1)
+        return s
+
+
+def _decode_audio(payload: dict) -> np.ndarray:
+    audio = payload.get("audio")
+    if isinstance(audio, dict) and "pcm16" in audio:
+        raw = base64.b64decode(audio["pcm16"])
+        return (np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0)
+    if isinstance(audio, list):
+        return np.asarray(audio, dtype=np.float32)
+    raise InvalidInputError(
+        'body needs "audio": [floats] or {"pcm16": base64-int16-le}'
+    )
+
+
+def _word_to_json(w) -> dict:
+    return {
+        "word": w.word, "start_ms": w.start_ms, "end_ms": w.end_ms,
+        "confidence": w.confidence,
+    }
+
+
+def make_handler(service: AlignmentService, device_label: str):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _reply(self, code: int, obj: dict) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"status": "ok", "device": device_label})
+            elif self.path == "/stats":
+                self._reply(200, service.snapshot_stats())
+            else:
+                self._reply(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/align":
+                self._reply(404, {"error": "not found"})
+                return
+            t0 = time.perf_counter()
+            with service.stats_lock:
+                service.stats["requests"] += 1
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length))
+                sr = int(payload.get("sample_rate_hz", 16000))
+                if sr != 16000:
+                    raise InvalidInputError(
+                        f"expected 16000 Hz input, got {sr}"
+                    )
+                audio = _decode_audio(payload)
+                transcript = str(payload.get("transcript", ""))
+                out, bs = service.submit(audio, transcript)
+                self._reply(200, {
+                    "words": [_word_to_json(w) for w in out.words],
+                    "latency_ms": round(
+                        (time.perf_counter() - t0) * 1000.0, 2
+                    ),
+                    "batch_size": bs,
+                })
+            except (InvalidInputError, ValueError, KeyError) as e:
+                with service.stats_lock:
+                    service.stats["errors"] += 1
+                self._reply(400, {"error": str(e)})
+            except Exception as e:
+                with service.stats_lock:
+                    service.stats["errors"] += 1
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def build_service_from_model_dir(
+    model_dir: str | Path,
+    compute_dtype: str = "bfloat16",
+    window_ms: float = 25.0,
+    max_batch: int = 64,
+    quantize_int8: bool = False,
+):
+    """Model dir contract matches the CLI (config.json + vocab.json +
+    model.safetensors, builder.rs:59-95)."""
+    import jax
+
+    from .config import Wav2Vec2ModelConfig, load_vocab
+    from .models.params import load_safetensors_params
+    from .parallel.batching import BatchAligner
+
+    model_dir = Path(model_dir)
+    cfg = Wav2Vec2ModelConfig.load(model_dir / "config.json")
+    vocab = load_vocab(model_dir / "vocab.json")
+    params = load_safetensors_params(model_dir / "model.safetensors", cfg)
+    aligner = BatchAligner(
+        cfg, params, vocab, compute_dtype=compute_dtype,
+        quantize_int8=quantize_int8,
+    )
+    service = AlignmentService(aligner, window_ms=window_ms,
+                               max_batch=max_batch)
+    device = jax.devices()[0].platform
+    return service, device
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--model-dir", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--window-ms", type=float, default=25.0)
+    p.add_argument("--max-batch", type=int, default=64)
+    p.add_argument("--compute-dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--quantize-int8", action="store_true")
+    args = p.parse_args(argv)
+
+    service, device = build_service_from_model_dir(
+        args.model_dir, compute_dtype=args.compute_dtype,
+        window_ms=args.window_ms, max_batch=args.max_batch,
+        quantize_int8=args.quantize_int8,
+    )
+    server = ThreadingHTTPServer(
+        (args.host, args.port), make_handler(service, device)
+    )
+    print(f"[serve] listening on http://{args.host}:{server.server_port} "
+          f"(device={device}, window={args.window_ms} ms, "
+          f"max_batch={args.max_batch})", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        service.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
