@@ -1,0 +1,176 @@
+"""Soak/scale demonstration: the real CLI over a sizable synthetic
+LibriSpeech-layout dataset — FLAC decode (native C++), case loading,
+bucketed batch alignment on the accelerator, TextGrid output.
+
+Bridges bench.py's device-loop number and the full production path: this
+measures everything the CLI does (dataset discovery, FLAC decode, host
+grouping, file output) end to end, the way the reference's benchmark
+workflow drives its binary over LibriSpeech
+(/root/reference/.github/workflows/gpu-manual.yml:117-144).
+
+Usage:
+    PYTHONPATH=.:$PYTHONPATH python scripts/soak_cli.py \
+        [--cases 200] [--dur-lo 4] [--dur-hi 8] [--seed 0] [--keep DIR]
+
+Prints one JSON line: cases, audio seconds, wall seconds (load / align
+phases), realtime factor, textgrids written.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+WORD_POOL = (
+    "THE QUICK BROWN FOX JUMPS OVER LAZY DOG WHILE SINGING ANCIENT "
+    "MELODIES UNDER BRIGHT WINTER STARS NEAR FROZEN RIVERS TONIGHT "
+    "GOOD DAY HELLO WORLD SEA SHELLS MOUNTAIN VALLEY THUNDER RAIN"
+).split()
+
+
+def make_model_dir(root: Path) -> Path:
+    """Full-size wav2vec2-base-960h architecture with random weights in the
+    HF checkpoint layout the CLI expects (weights are random: this measures
+    compute + pipeline, not quality)."""
+    import torch
+    import transformers
+    from safetensors.numpy import save_file
+
+    d = root / "model"
+    d.mkdir(parents=True)
+    cfg_json = dict(
+        hidden_size=768, num_hidden_layers=12, num_attention_heads=12,
+        intermediate_size=3072, conv_dim=[512] * 7,
+        conv_kernel=[10, 3, 3, 3, 3, 2, 2], conv_stride=[5, 2, 2, 2, 2, 2, 2],
+        num_conv_pos_embeddings=128, num_conv_pos_embedding_groups=16,
+        pad_token_id=0, vocab_size=32, do_stable_layer_norm=False,
+        feat_extract_norm="group", conv_bias=False,
+    )
+    torch.manual_seed(0)
+    tm = transformers.Wav2Vec2ForCTC(
+        transformers.Wav2Vec2Config(**cfg_json)
+    ).eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    sd.pop("wav2vec2.masked_spec_embed", None)
+    save_file(sd, str(d / "model.safetensors"))
+    (d / "config.json").write_text(json.dumps(cfg_json))
+    vocab = {"<pad>": 0, "<s>": 1, "</s>": 2, "<unk>": 3, "|": 4}
+    for i, c in enumerate("ETAONIHSRDLUMWCFGYPBVKXJQZ"):
+        vocab[c] = 5 + i
+    (d / "vocab.json").write_text(json.dumps(vocab))
+    return d
+
+
+def make_dataset(root: Path, n_cases: int, dur_lo: float, dur_hi: float,
+                 seed: int) -> tuple[Path, float]:
+    from wav2vec2_tpu.data.flac_encoder import write_flac
+
+    rng = np.random.default_rng(seed)
+    base = root / "data" / "LibriSpeech" / "test-clean"
+    total_audio_s = 0.0
+    per_chapter = 50
+    lines: list[str] = []
+    chapter = 0
+    chap_dir = None
+    for i in range(n_cases):
+        if i % per_chapter == 0:
+            if chap_dir is not None:
+                (chap_dir / f"1-{chapter}.trans.txt").write_text(
+                    "\n".join(lines)
+                )
+                lines = []
+            chapter += 1
+            chap_dir = base / "1" / str(chapter)
+            chap_dir.mkdir(parents=True)
+        dur = float(rng.uniform(dur_lo, dur_hi))
+        n = int(dur * 16000)
+        total_audio_s += n / 16000.0
+        x = np.clip(
+            np.cumsum(rng.integers(-120, 120, size=n)), -30000, 30000
+        ).astype(np.int64)
+        uid = f"1-{chapter}-{i:04d}"
+        write_flac(chap_dir / f"{uid}.flac", x, 16000)
+        n_words = max(3, int(dur * 2))
+        lines.append(
+            f"{uid} {' '.join(rng.choice(WORD_POOL, size=n_words))}"
+        )
+    (chap_dir / f"1-{chapter}.trans.txt").write_text("\n".join(lines))
+    return root / "data", total_audio_s
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--cases", type=int, default=200)
+    p.add_argument("--dur-lo", type=float, default=4.0)
+    p.add_argument("--dur-hi", type=float, default=8.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--compute-dtype", default="bfloat16")
+    p.add_argument("--keep", default=None,
+                   help="keep artifacts under this dir (default: tmp, removed)")
+    args = p.parse_args(argv)
+
+    from wav2vec2_tpu.cli.alignment_report import run as cli_run
+
+    root = Path(args.keep) if args.keep else Path(
+        tempfile.mkdtemp(prefix="soak_cli_")
+    )
+    try:
+        t0 = time.perf_counter()
+        model_dir = make_model_dir(root)
+        dataset_root, audio_s = make_dataset(
+            root, args.cases, args.dur_lo, args.dur_hi, args.seed
+        )
+        setup_s = time.perf_counter() - t0
+        print(f"[soak] {args.cases} cases, {audio_s:.0f} s audio, "
+              f"setup {setup_s:.0f} s", file=sys.stderr, flush=True)
+
+        # Two passes, reference warmup protocol: pass 1 compiles/loads the
+        # bucket programs (per-process cost; on this machine's remote-TPU
+        # tunnel a program load costs ~45 s even on a compile-cache hit),
+        # pass 2 measures the steady-state production pipeline.
+        walls = []
+        for i, suffix in enumerate(["_warm", ""]):
+            t0 = time.perf_counter()
+            rc = cli_run([
+                "--model-dir", str(model_dir),
+                "--dataset-root", str(dataset_root),
+                "--compute-dtype", args.compute_dtype,
+                "--output-format", "textgrid",
+                "--textgrid-suffix", suffix,
+            ])
+            walls.append(time.perf_counter() - t0)
+            if rc != 0:
+                print(f"[soak] CLI pass {i} failed rc={rc}", file=sys.stderr)
+                return rc
+        wall_s = walls[-1]
+        n_tg = len([p for p in dataset_root.rglob("*.TextGrid")
+                    if not p.stem.endswith("_warm")])
+        print(json.dumps({
+            "metric": "cli_textgrid_soak",
+            "cases": args.cases,
+            "audio_seconds": round(audio_s, 1),
+            "wall_seconds": round(wall_s, 2),
+            "warm_pass_seconds": round(walls[0], 2),
+            "realtime_factor": round(audio_s / wall_s, 1),
+            "textgrids_written": n_tg,
+            "compute_dtype": args.compute_dtype,
+        }))
+        return 0
+    finally:
+        if not args.keep:
+            shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -340,3 +340,80 @@ def test_align_stream_flushes_partial_buckets_at_pending_cap(setup):
     assert sorted(got) == list(range(len(lens)))
     for i in range(len(lens)):
         assert [w.word for w in got[i].words] == ["ab"]
+
+
+def test_bucket_scheme_pow2_bounds_shape_count():
+    """pow2 bucketing keeps the shape vocabulary O(log length-spread) and
+    pad_batch rounds the batch dim to powers of two — the shape-budget
+    controls that bound per-process XLA program loads (each distinct
+    (B, N_pad, S_pad) is a separately compiled program)."""
+    from wav2vec2_tpu.parallel.batching import (
+        _pad_len,
+        _round_up_pow2,
+        bucket_utterances,
+    )
+
+    rng = np.random.default_rng(0)
+    audio_lens = [int(rng.uniform(4, 8) * 16000) for _ in range(200)]
+    token_lens = [int(rng.uniform(40, 120)) for _ in range(200)]
+
+    linear = bucket_utterances(audio_lens, token_lens, scheme="linear")
+    pow2 = bucket_utterances(audio_lens, token_lens, scheme="pow2")
+    n_shapes = lambda bs: len({(b.n_pad, b.s_pad) for b in bs})
+    assert n_shapes(pow2) <= 2  # 64000/128000 × 128
+    assert n_shapes(pow2) < n_shapes(linear)
+    # every utterance still fits its bucket
+    for b in pow2:
+        for i in b.indices:
+            assert audio_lens[i] <= b.n_pad and token_lens[i] <= b.s_pad
+
+    assert _round_up_pow2(3, 1) == 4
+    assert _round_up_pow2(64, 1) == 64
+    assert _pad_len(70000, 16000, "pow2") == 128000
+    assert _pad_len(70000, 16000, "linear") == 80000
+    with pytest.raises(ValueError):
+        _pad_len(1, 1, "fib")
+
+
+def test_pad_batch_output_equivalence(setup):
+    """pad_batch + pow2 bucketing must not change any output (padded rows
+    are discarded duplicates; length padding was already exact)."""
+    batch, _ = setup
+    rng = np.random.default_rng(7)
+    lens = [4000, 2600, 3333, 2100, 4400]
+    audios = [rng.normal(size=n).astype(np.float32) for n in lens]
+    transcripts = ["ab ca", "ba", "ab ba ca", "ca", "ab ab"]
+
+    tight = batch.align_utterances(
+        audios, transcripts, audio_multiple=500, token_multiple=16,
+        bucket_scheme="linear", pad_batch=False,
+    )
+    budgeted = batch.align_utterances(
+        audios, transcripts, audio_multiple=500, token_multiple=16,
+        bucket_scheme="pow2", pad_batch=True,
+    )
+    for a, b in zip(tight, budgeted):
+        assert [w.word for w in a.words] == [w.word for w in b.words]
+        for wa, wb in zip(a.words, b.words):
+            assert (wa.start_ms, wa.end_ms) == (wb.start_ms, wb.end_ms)
+            # different padded shapes retile XLA reductions → last-ulp f32
+            # drift in the forward (same as any bucket-size change)
+            assert wa.confidence == pytest.approx(wb.confidence, abs=1e-6)
+
+
+def test_align_stream_pad_batch_equivalence(setup):
+    batch, _ = setup
+    rng = np.random.default_rng(11)
+    lens = [4000, 2600, 3333]
+    audios = [rng.normal(size=n).astype(np.float32) for n in lens]
+    transcripts = ["ab ca", "ba", "ab"]
+    want = batch.align_utterances(audios, transcripts, audio_multiple=500,
+                                  token_multiple=16, bucket_scheme="linear",
+                                  pad_batch=False)
+    got = dict(batch.align_stream(zip(audios, transcripts), audio_multiple=500,
+                                  token_multiple=16, bucket_scheme="pow2",
+                                  pad_batch=True))
+    for i, w in enumerate(want):
+        assert [x.word for x in got[i].words] == [x.word for x in w.words]
+        for wa, wb in zip(w.words, got[i].words):
+            assert (wa.start_ms, wa.end_ms) == (wb.start_ms, wb.end_ms)

@@ -97,6 +97,18 @@ def build_arg_parser() -> argparse.ArgumentParser:
         "--batch", action=argparse.BooleanOptionalAction, default=True,
         help="bucketed batch alignment for json/textgrid modes",
     )
+    p.add_argument(
+        "--audio-bucket-seconds", type=float,
+        default=float(_env("AUDIO_BUCKET_SECONDS", "1.0")),
+        help="audio bucket granularity in seconds; lengths round up on a "
+             "pow2 grid from this base. Larger values trade padding FLOPs "
+             "for fewer compiled shapes (each distinct shape is one XLA "
+             "program: a compile on first use, a load per process)",
+    )
+    p.add_argument(
+        "--max-batch", type=int, default=int(_env("MAX_BATCH", "64")),
+        help="max utterances per device batch (batch dims pad to pow2)",
+    )
     p.add_argument("--perf-out", default=_env("PERF_OUT"))
     p.add_argument("--perf-warmup", type=int, default=int(_env("PERF_WARMUP", "10")))
     p.add_argument("--perf-repeats", type=int, default=int(_env("PERF_REPEATS", "30")))
@@ -325,7 +337,11 @@ def run(argv=None) -> int:
 
         params = load_safetensors_params(weights_path, model_cfg)
         aligner = _make_batch_aligner(args, model_cfg, vocab, params)
-        outputs = aligner.align_utterances(audios, [c.transcript for c in cases])
+        outputs = aligner.align_utterances(
+            audios, [c.transcript for c in cases],
+            audio_multiple=max(1, int(args.audio_bucket_seconds * 16000)),
+            max_batch=args.max_batch,
+        )
     else:
         aligner = _make_single_aligner(args, model_dir, model_cfg)
         outputs = []

@@ -193,12 +193,16 @@ def fold_weight_norm(
     HF pos-conv) normalizes per kernel position over (out, in); `(out, 1, 1)`
     normalizes per output channel over (in, K).
     """
-    wv = jnp.asarray(weight_v, dtype=jnp.float32)
-    wg = jnp.asarray(weight_g, dtype=jnp.float32)
+    import numpy as np
+
+    # host-side numpy: this is a load-time transform, and eager device ops
+    # here would cost one dispatch round-trip per checkpoint tensor
+    wv = np.asarray(weight_v, dtype=np.float32)
+    wg = np.asarray(weight_g, dtype=np.float32)
     if wg.shape == (1, 1, wv.shape[2]):
-        norm = jnp.sqrt(jnp.sum(wv * wv, axis=(0, 1), keepdims=True))
+        norm = np.sqrt(np.sum(wv * wv, axis=(0, 1), keepdims=True))
         return wv / norm * wg
     if wg.shape == (wv.shape[0], 1, 1):
-        norm = jnp.sqrt(jnp.sum(wv * wv, axis=(1, 2), keepdims=True))
+        norm = np.sqrt(np.sum(wv * wv, axis=(1, 2), keepdims=True))
         return wv / norm * wg
     raise ValueError(f"unsupported weight_g shape {wg.shape} for weight_v {wv.shape}")

@@ -131,7 +131,12 @@ def params_from_flat_dict(
     dtype=jnp.float32,
 ) -> dict:
     """Build the parameter pytree from a flat {hf_name: array} mapping
-    (safetensors file contents or a torch state_dict converted to numpy)."""
+    (safetensors file contents or a torch state_dict converted to numpy).
+
+    The whole tree is assembled host-side in numpy and shipped with ONE
+    jax.device_put at the end: per-tensor eager device ops would pay a
+    dispatch round-trip for each of the ~200 checkpoint tensors (~10 s of
+    pure latency on a remote-TPU link)."""
     t = {}
     for name, arr in tensors.items():
         t[_POS_CONV_ALIASES.get(name, name)] = np.asarray(arr)
@@ -139,7 +144,7 @@ def params_from_flat_dict(
     def get(name):
         if name not in t:
             raise RuntimeBackendError("load weights", f"missing tensor {name!r}")
-        return jnp.asarray(t[name], dtype=dtype)
+        return np.asarray(t[name], dtype=dtype)
 
     def has(name):
         return name in t
@@ -187,9 +192,9 @@ def params_from_flat_dict(
         }
 
     layers = [enc_layer(i) for i in range(cfg.num_hidden_layers)]
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    stacked = jax.tree.map(lambda *xs: np.stack(xs), *layers)
 
-    return {
+    tree = {
         "feature_extractor": {"conv_layers": conv_layers},
         "feature_projection": {
             "layer_norm": ln("wav2vec2.feature_projection.layer_norm"),
@@ -202,6 +207,7 @@ def params_from_flat_dict(
         },
         "lm_head": dense("lm_head"),
     }
+    return jax.device_put(tree)
 
 
 def load_safetensors_params(

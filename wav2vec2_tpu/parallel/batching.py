@@ -35,6 +35,41 @@ def _round_up(x: int, m: int) -> int:
     return max(-(-x // m) * m, m)
 
 
+def _round_up_pow2(x: int, m: int) -> int:
+    """Round x up to m·2^k — a geometric padding grid."""
+    n = m
+    while n < x:
+        n *= 2
+    return n
+
+
+def _pad_len(x: int, m: int, scheme: str) -> int:
+    if scheme == "pow2":
+        return _round_up_pow2(x, m)
+    if scheme == "linear":
+        return _round_up(x, m)
+    raise ValueError(f"unknown bucket scheme: {scheme!r}")
+
+
+def _pad_batch_rows(b_target: int, *arrays):
+    """Pad the batch dim to b_target by repeating each array's last row.
+
+    Padded rows are real (duplicate) work whose results callers ignore —
+    the same trick submit_padded_batch uses for mesh divisibility. Keeping
+    the batch dim on a power-of-two grid bounds the number of distinct
+    compiled program shapes: each distinct (B, N_pad, S_pad) is a separate
+    XLA program, and on a fresh process every program pays a first-run
+    load/compile cost that dwarfs the padded rows' FLOPs."""
+    out = []
+    for a in arrays:
+        pad = b_target - a.shape[0]
+        out.append(
+            np.concatenate([a, np.repeat(a[-1:], pad, axis=0)], axis=0)
+            if pad > 0 else a
+        )
+    return out
+
+
 @dataclass
 class Bucket:
     """One padded batch of utterance indices sharing (n_pad, s_pad)."""
@@ -50,13 +85,20 @@ def bucket_utterances(
     audio_multiple: int = 16000,
     token_multiple: int = 128,
     max_batch: int = 64,
+    scheme: str = "pow2",
 ) -> list[Bucket]:
     """Group utterances into padded (n_pad, s_pad) buckets. Padding is exact
     (masked model + banded DP), so bucketing only trades FLOPs for fewer XLA
-    compilations."""
+    compilations.
+
+    scheme="pow2" (default) rounds lengths up on a geometric grid
+    (multiple·2^k), bounding the shape vocabulary to O(log max_len) buckets
+    regardless of the dataset's duration spread; "linear" rounds to the next
+    multiple (tightest padding, one shape per distinct rounded length)."""
     groups: dict[tuple[int, int], list[int]] = {}
     for i, (n, s) in enumerate(zip(audio_lens, token_lens)):
-        key = (_round_up(n, audio_multiple), _round_up(s, token_multiple))
+        key = (_pad_len(n, audio_multiple, scheme),
+               _pad_len(s, token_multiple, scheme))
         groups.setdefault(key, []).append(i)
     buckets = []
     for (n_pad, s_pad), idxs in sorted(groups.items()):
@@ -237,6 +279,8 @@ class BatchAligner:
         max_batch: int = 64,
         max_in_flight: int = 2,
         max_pending: int = 256,
+        bucket_scheme: str = "pow2",
+        pad_batch: bool = True,
     ):
         """Streaming serving API: consume an iterable of (audio, transcript)
         and yield (index, AlignmentOutput) with BOUNDED memory — audio is
@@ -280,6 +324,10 @@ class BatchAligner:
                 tokens[j, : len(seq.tokens)] = seq.tokens
                 a_l[j] = len(a)
                 s_l[j] = len(seq.tokens)
+            if pad_batch:
+                audio, a_l, tokens, s_l = _pad_batch_rows(
+                    min(max_batch, _round_up_pow2(b, 1)), audio, a_l, tokens, s_l
+                )
             return self.submit_padded_batch(audio, a_l, tokens, s_l)
 
         def drain(entries, key, handles):
@@ -318,8 +366,8 @@ class BatchAligner:
                     f"utterance {idx}: audio too short for transcript: "
                     f"{t_i} frames < {min_frames} required"
                 )
-            key = (_round_up(len(audio), audio_multiple),
-                   _round_up(len(seq.tokens), token_multiple))
+            key = (_pad_len(len(audio), audio_multiple, bucket_scheme),
+                   _pad_len(len(seq.tokens), token_multiple, bucket_scheme))
             entries = pending.setdefault(key, [])
             entries.append((idx, audio, seq))
             if len(entries) >= max_batch:
@@ -352,8 +400,16 @@ class BatchAligner:
         audio_multiple: int = 16000,
         token_multiple: int = 128,
         max_batch: int = 64,
+        bucket_scheme: str = "pow2",
+        pad_batch: bool = True,
     ) -> list[AlignmentOutput]:
-        """Full path: normalize, tokenize, bucket, batch-align, group."""
+        """Full path: normalize, tokenize, bucket, batch-align, group.
+
+        bucket_scheme/pad_batch control the shape budget: with the defaults,
+        audio/token pads sit on a geometric grid and the batch dim is padded
+        up to the next power of two (≤ max_batch), so the number of distinct
+        XLA programs stays O(log) in the dataset's length spread. Padding is
+        exact — outputs are identical under any setting."""
         from ..pipeline.runtime import normalize_audio
 
         from ..errors import InvalidInputError
@@ -386,7 +442,8 @@ class BatchAligner:
             active_slens.append(len(seq.tokens))
 
         buckets = bucket_utterances(
-            active_lens, active_slens, audio_multiple, token_multiple, max_batch
+            active_lens, active_slens, audio_multiple, token_multiple,
+            max_batch, scheme=bucket_scheme,
         )
         for bucket in buckets:
             bucket.indices = [active[j] for j in bucket.indices]
@@ -415,6 +472,10 @@ class BatchAligner:
                 tokens[j, : s_lens[i]] = seqs[i].tokens
                 a_l[j] = lens[i]
                 s_l[j] = s_lens[i]
+            if pad_batch:
+                audio, a_l, tokens, s_l = _pad_batch_rows(
+                    min(max_batch, _round_up_pow2(b, 1)), audio, a_l, tokens, s_l
+                )
             return self.submit_padded_batch(audio, a_l, tokens, s_l)
 
         def drain(bucket: Bucket, handles: tuple):
