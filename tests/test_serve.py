@@ -195,3 +195,13 @@ def test_empty_transcript_yields_no_words(server):
     url, _ = server
     status, body = _post(url, {"audio": [0.01] * 4000, "transcript": "   "})
     assert status == 200 and body["words"] == []
+
+
+def test_warmup_aligner_drives_pow2_shapes(server):
+    from wav2vec2_tpu.serve import warmup_aligner
+
+    _, service = server
+    # 0.25 s on the pow2 grid base; max_batch 4 → B ∈ {1, 2, 4} = 3 shapes
+    n = warmup_aligner(service.aligner, [0.25], max_batch=4,
+                       sample_rate_hz=16000)
+    assert n == 3

@@ -249,6 +249,39 @@ def make_handler(service: AlignmentService, device_label: str):
     return Handler
 
 
+def warmup_aligner(aligner, durations_s, max_batch: int = 64,
+                   sample_rate_hz: int = 16000) -> int:
+    """Pre-compile the bucket program shapes cold traffic would hit.
+
+    Serving cold-start discipline: each distinct (B, N_pad, S_pad) batch
+    shape is a separate XLA program whose first use costs a compile (or a
+    per-process load); without warmup the first unlucky request eats it.
+    For each duration this drives every pow2 batch size up to max_batch —
+    the exact shapes the batch engine's pad_batch emits. Durations should
+    sit on the pow2 audio grid (e.g. 4, 8, 16, 32 s); off-grid values warm
+    the bucket they round up into. Returns the number of (duration, B)
+    shapes driven. Transcripts beyond ~120 tokens occupy a second token
+    bucket not covered here.
+    """
+    rng = np.random.default_rng(0)
+    # a transcript guaranteed alignable under this vocab
+    chars = sorted(k for k in aligner.vocab
+                   if len(k) == 1 and k != "|" and k.isalpha())
+    word = "".join(chars[:3]) or "a"
+    shapes = 0
+    for dur in durations_s:
+        audio = rng.normal(size=int(dur * sample_rate_hz)).astype(np.float32)
+        b = 1
+        while True:
+            aligner.align_utterances([audio] * b, [word] * b,
+                                     max_batch=max_batch)
+            shapes += 1
+            if b >= max_batch:
+                break
+            b = min(b * 2, max_batch)
+    return shapes
+
+
 def build_service_from_model_dir(
     model_dir: str | Path,
     compute_dtype: str = "bfloat16",
@@ -288,6 +321,14 @@ def main(argv=None) -> int:
     p.add_argument("--compute-dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--quantize-int8", action="store_true")
+    p.add_argument(
+        "--warmup-seconds", default="",
+        help="comma-separated durations (s) to pre-compile before serving, "
+             "e.g. '8,16' — every pow2 batch size up to --max-batch is "
+             "driven per duration, so cold traffic never pays a compile. "
+             "Each shape costs one compile upfront (tens of seconds on a "
+             "cold cache)",
+    )
     args = p.parse_args(argv)
 
     service, device = build_service_from_model_dir(
@@ -295,6 +336,12 @@ def main(argv=None) -> int:
         window_ms=args.window_ms, max_batch=args.max_batch,
         quantize_int8=args.quantize_int8,
     )
+    if args.warmup_seconds.strip():
+        durations = [float(d) for d in args.warmup_seconds.split(",") if d.strip()]
+        t0 = time.perf_counter()
+        n = warmup_aligner(service.aligner, durations, max_batch=args.max_batch)
+        print(f"[serve] warmed {n} program shapes in "
+              f"{time.perf_counter() - t0:.1f} s", flush=True)
     server = ThreadingHTTPServer(
         (args.host, args.port), make_handler(service, device)
     )
