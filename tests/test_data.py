@@ -314,3 +314,134 @@ def test_flac_installed_layout_fallback(monkeypatch, tmp_path):
     got, rate = read_flac_mono(p)
     assert rate == 16000 and len(got) == 2000
     monkeypatch.setattr(flac, "_lib", None)  # restored by monkeypatch teardown
+
+
+# -- WAV format matrix + error branches (read_wav_mono parity with the
+# reference's bit-depth scaling + channel averaging, alignment_report.rs:1405-1445)
+
+def _wav_bytes(audio_format, channels, sample_rate, bits, body):
+    import struct
+
+    header = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(body), b"WAVE", b"fmt ", 16, audio_format,
+        channels, sample_rate, sample_rate * channels * bits // 8,
+        channels * bits // 8, bits, b"data", len(body),
+    )
+    return header + body
+
+
+def test_wav_float32_and_int32(tmp_path):
+    from wav2vec2_tpu.data.audio import read_wav_mono
+
+    x = np.array([0.5, -0.25, 1.0], np.float32)
+    p = tmp_path / "f32.wav"
+    p.write_bytes(_wav_bytes(3, 1, 16000, 32, x.astype("<f4").tobytes()))
+    got, sr = read_wav_mono(p)
+    assert sr == 16000 and np.allclose(got, x)
+
+    xi = np.array([1 << 30, -(1 << 30)], "<i4")
+    p2 = tmp_path / "i32.wav"
+    p2.write_bytes(_wav_bytes(1, 1, 8000, 32, xi.tobytes()))
+    got, sr = read_wav_mono(p2)
+    assert sr == 8000 and np.allclose(got, [0.5, -0.5])
+
+
+def test_wav_24bit_and_stereo_average(tmp_path):
+    from wav2vec2_tpu.data.audio import read_wav_mono
+
+    # 24-bit: +2^22 encodes 0.5, sign extension for negatives
+    vals = [1 << 22, -(1 << 22)]
+    raw = b"".join(
+        int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals
+    )
+    p = tmp_path / "i24.wav"
+    p.write_bytes(_wav_bytes(1, 1, 16000, 24, raw))
+    got, _ = read_wav_mono(p)
+    assert np.allclose(got, [0.5, -0.5])
+
+    # stereo 16-bit averages channels
+    inter = np.array([16384, -16384, 8192, 8192], "<i2")  # L,R,L,R
+    p2 = tmp_path / "st.wav"
+    p2.write_bytes(_wav_bytes(1, 2, 16000, 16, inter.tobytes()))
+    got, _ = read_wav_mono(p2)
+    assert np.allclose(got, [0.0, 0.25])
+
+
+def test_wav_error_branches(tmp_path):
+    from wav2vec2_tpu.data.audio import read_audio_mono, read_wav_mono
+    from wav2vec2_tpu.errors import InvalidInputError, IoError
+
+    with pytest.raises(IoError):
+        read_wav_mono(tmp_path / "missing.wav")
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"NOTRIFF" + b"\x00" * 64)
+    with pytest.raises(InvalidInputError, match="RIFF"):
+        read_wav_mono(bad)
+    nodata = tmp_path / "nodata.wav"
+    nodata.write_bytes(b"RIFF" + b"\x24\x00\x00\x00" + b"WAVE" + b"\x00" * 32)
+    with pytest.raises(InvalidInputError, match="fmt/data"):
+        read_wav_mono(nodata)
+    weird = tmp_path / "weird.wav"
+    weird.write_bytes(_wav_bytes(1, 1, 16000, 8, b"\x00\x01"))
+    with pytest.raises(InvalidInputError, match="unsupported wav encoding"):
+        read_wav_mono(weird)
+    with pytest.raises(InvalidInputError, match="unsupported audio format"):
+        read_audio_mono(tmp_path / "x.mp3")
+
+
+def test_load_cases_from_textgrids(tmp_path):
+    """json-mode case loading: words tier → reference words, transcript tier
+    fallback, TextGrids without sibling audio skipped
+    (alignment_report.rs:1042-1059)."""
+    from wav2vec2_tpu.data.flac_encoder import write_flac
+    from wav2vec2_tpu.data.librispeech import load_cases_from_textgrids
+    from wav2vec2_tpu.data.textgrid import write_textgrid
+    from wav2vec2_tpu.types import WordTiming
+
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    words = [
+        WordTiming(word="HELLO", start_ms=0, end_ms=400, confidence=0.9),
+        WordTiming(word="WORLD", start_ms=420, end_ms=900, confidence=0.8),
+    ]
+    write_flac(sub / "utt1.flac", np.zeros(16000, np.int64), 16000)
+    write_textgrid(sub / "utt1.flac", "HELLO WORLD", words, duration_ms=1000)
+    # no sibling audio → skipped
+    write_textgrid(sub / "orphan.flac", "X", words, duration_ms=1000)
+
+    cases = load_cases_from_textgrids(tmp_path, [sub])
+    assert [c.id for c in cases] == ["utt1"]
+    c = cases[0]
+    assert c.has_reference and c.transcript == "HELLO WORLD"
+    assert [(w.word, w.start_ms, w.end_ms) for w in c.reference_words] == [
+        ("HELLO", 0, 400), ("WORLD", 420, 900)
+    ]
+
+    with pytest.raises(FileNotFoundError, match="Missing subset"):
+        load_cases_from_textgrids(tmp_path, [tmp_path / "nope"])
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError, match="No TextGrid"):
+        load_cases_from_textgrids(tmp_path, [empty])
+
+
+def test_load_case_filter_and_offsets(tmp_path):
+    from wav2vec2_tpu.data.librispeech import (
+        Case,
+        filter_cases,
+        load_case_filter,
+    )
+
+    f = tmp_path / "cases.txt"
+    f.write_text("# comment\n\na/b/utt1.flac\nutt2.TextGrid\nutt3\n")
+    ids = load_case_filter(f)
+    assert ids == {"utt1", "utt2", "utt3"}
+
+    cases = [Case(id=f"utt{i}", audio_path=f"d/utt{i}.flac", transcript="x")
+             for i in range(5)]
+    assert [c.id for c in filter_cases(cases, ids)] == ["utt1", "utt2", "utt3"]
+    assert [c.id for c in filter_cases(cases, None, offset=3)] == ["utt3", "utt4"]
+    assert [c.id for c in filter_cases(cases, None, offset=1, limit=2)] == [
+        "utt1", "utt2"
+    ]
