@@ -445,3 +445,32 @@ def test_load_case_filter_and_offsets(tmp_path):
     assert [c.id for c in filter_cases(cases, None, offset=1, limit=2)] == [
         "utt1", "utt2"
     ]
+
+
+def test_wav_fuzz_no_uncontrolled_errors(tmp_path):
+    """Garbage and truncated WAV bytes must raise AlignmentError subclasses,
+    never segfault or leak foreign exceptions (the FLAC decoder has the same
+    guarantee, tested above)."""
+    from wav2vec2_tpu.data.audio import read_wav_mono
+    from wav2vec2_tpu.errors import AlignmentError
+
+    rng = np.random.default_rng(0)
+    p = tmp_path / "fuzz.wav"
+    good = _wav_bytes(1, 1, 16000, 16,
+                      np.zeros(64, "<i2").tobytes())
+    for i in range(60):
+        if i % 3 == 0:
+            blob = rng.bytes(int(rng.integers(0, 256)))
+        elif i % 3 == 1:
+            blob = good[: int(rng.integers(0, len(good)))]
+        else:
+            b = bytearray(good)
+            for _ in range(8):
+                b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+            blob = bytes(b)
+        p.write_bytes(blob)
+        try:
+            x, sr = read_wav_mono(p)
+            assert np.all(np.isfinite(x)) or x.dtype == np.float32
+        except AlignmentError:
+            pass  # controlled rejection

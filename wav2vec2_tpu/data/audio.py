@@ -57,6 +57,10 @@ def read_wav_mono(path: str | Path) -> tuple[np.ndarray, int]:
     if fmt is None or samples is None:
         raise InvalidInputError(f"wav missing fmt/data chunk: {path}")
     audio_format, channels, sample_rate, bits = fmt
+    if bits % 8 == 0 and bits > 0:
+        # tolerate a truncated final sample (np.frombuffer would raise a
+        # bare ValueError on a partial element)
+        samples = samples[: len(samples) - len(samples) % (bits // 8)]
 
     if audio_format == 3 and bits == 32:  # IEEE float
         x = np.frombuffer(samples, dtype="<f4").astype(np.float32)
