@@ -196,3 +196,13 @@ def test_ensure_backend_reraises_after_first_success(monkeypatch):
 
     with _pytest.raises(RuntimeError, match="device lost"):
         dev.ensure_backend()
+
+
+def test_package_lazy_attrs():
+    """__init__ loads heavy subsystems lazily (keeps bare import light)."""
+    import wav2vec2_tpu
+
+    assert wav2vec2_tpu.BatchAligner.__name__ == "BatchAligner"
+    assert callable(wav2vec2_tpu.align_longform)
+    with pytest.raises(AttributeError, match="no attribute"):
+        wav2vec2_tpu.does_not_exist
