@@ -296,68 +296,95 @@ def run(argv=None) -> int:
             print("[alignment_report] nothing to do", file=sys.stderr)
             return 0
 
-    # load audio (parallel: the native FLAC decoder releases the GIL)
-    from concurrent.futures import ThreadPoolExecutor
+    # Lazily decode + align. Batch mode streams through
+    # BatchAligner.align_stream so memory stays bounded by the decode
+    # prefetch window + the engine's pending set — a full LibriSpeech split
+    # never sits in RAM at once (upfront loading peaked at ~5 GB there).
+    from ..align.tokenization import build_token_sequence_case_aware
 
-    def _load(c):
+    def _decode(c):
         samples, rate = read_audio_mono(dataset_root / c.audio_path)
         return samples, int(len(samples) / rate * 1000)
 
-    with ThreadPoolExecutor(max_workers=8) as pool:
-        loaded = list(pool.map(_load, cases))
-    audios = [a for a, _ in loaded]
-    durations_ms = [d for _, d in loaded]
-
-    # drop cases whose transcript cannot fit the audio BEFORE batching, so
-    # one bad case doesn't abort the run (the per-utterance guard raises,
-    # runtime.rs:116-121; here it becomes a per-case warning)
-    from ..align.tokenization import build_token_sequence_case_aware
-
-    keep = []
-    for i, c in enumerate(cases):
+    def _too_short(c, n_samples):
+        # per-case skip instead of aborting the run (the per-utterance
+        # guard raises, runtime.rs:116-121; here it becomes a warning)
         seq = build_token_sequence_case_aware(
             c.transcript, vocab, model_cfg.pad_token_id, vocab.get("|", 0)
         )
-        t_i = model_cfg.conv_output_length(len(audios[i]))
-        if seq.tokens and t_i < -(-len(seq.tokens) // 2):
+        t_i = model_cfg.conv_output_length(n_samples)
+        min_frames = -(-len(seq.tokens) // 2)
+        if seq.tokens and t_i < min_frames:
             print(f"[alignment_report] skipping {c.id}: audio too short for "
-                  f"transcript ({t_i} frames < {-(-len(seq.tokens) // 2)})",
-                  file=sys.stderr)
-            continue
-        keep.append(i)
-    if len(keep) < len(cases):
-        cases = [cases[i] for i in keep]
-        audios = [audios[i] for i in keep]
-        durations_ms = [durations_ms[i] for i in keep]
-    if not cases:
-        raise SystemExit("error: no alignable cases")
+                  f"transcript ({t_i} frames < {min_frames})", file=sys.stderr)
+            return True
+        return False
+
+    results: list[tuple] = []  # (case_pos, Case, AlignmentOutput, duration_ms)
+    progress = _ProgressLine(len(cases))
 
     if args.batch:
         from ..models.params import load_safetensors_params
 
         params = load_safetensors_params(weights_path, model_cfg)
         aligner = _make_batch_aligner(args, model_cfg, vocab, params)
-        outputs = aligner.align_utterances(
-            audios, [c.transcript for c in cases],
+
+        streamed: list[tuple] = []  # (case_pos, Case, duration_ms), yield order
+
+        def _items():
+            # sliding-window decode prefetch (the native FLAC decoder
+            # releases the GIL, so decode overlaps device work)
+            from collections import deque
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                futs: deque = deque()
+
+                def _next():
+                    pos, c, fut = futs.popleft()
+                    samples, dur = fut.result()
+                    if _too_short(c, len(samples)):
+                        return None
+                    streamed.append((pos, c, dur))
+                    return samples, c.transcript
+
+                for pos, c in enumerate(cases):
+                    futs.append((pos, c, pool.submit(_decode, c)))
+                    if len(futs) >= 32:
+                        item = _next()
+                        if item is not None:
+                            yield item
+                while futs:
+                    item = _next()
+                    if item is not None:
+                        yield item
+
+        for idx, out in aligner.align_stream(
+            _items(),
             audio_multiple=max(1, int(args.audio_bucket_seconds * 16000)),
             max_batch=args.max_batch,
-        )
+            max_pending=128,
+        ):
+            pos, c, dur = streamed[idx]
+            results.append((pos, c, out, dur))
+            progress.update(len(results))
     else:
         aligner = _make_single_aligner(args, model_dir, model_cfg)
-        outputs = []
-        progress = _ProgressLine(len(cases))
-        for i, c in enumerate(cases):
-            outputs.append(
-                aligner.align(
-                    AlignmentInput(16000, audios[i], c.transcript)
-                )
-            )
-            progress.update(i + 1)
-        progress.finish()
+        for pos, c in enumerate(cases):
+            samples, dur = _decode(c)
+            if _too_short(c, len(samples)):
+                continue
+            out = aligner.align(AlignmentInput(16000, samples, c.transcript))
+            results.append((pos, c, out, dur))
+            progress.update(len(results))
+    progress.finish()
+    if not results:
+        raise SystemExit("error: no alignable cases")
+    results.sort(key=lambda r: r[0])  # report/output in dataset order
 
     if args.output_format == "textgrid":
         written = 0
-        for c, out, dur in zip(cases, outputs, durations_ms):
+        for _, c, out, dur in results:
             audio_path = dataset_root / c.audio_path
             out_path = audio_path.with_name(
                 f"{audio_path.stem}{args.textgrid_suffix}.TextGrid"
@@ -377,7 +404,7 @@ def run(argv=None) -> int:
     sentences = []
     predicted_by_id = {}
     references_by_id = {}
-    for c, out, dur in zip(cases, outputs, durations_ms):
+    for _, c, out, dur in results:
         split = infer_split(c.audio_path)
         reference = c.reference_words if c.has_reference else None
         sentences.append(
@@ -402,7 +429,7 @@ def run(argv=None) -> int:
             model_path=str(model_dir),
             device=f"{jax.devices()[0].platform}",
             frame_stride_ms=model_cfg.frame_stride_ms(16000),
-            case_count=len(cases),
+            case_count=len(results),
         ),
         sentences=sentences,
         aggregates=aggregates,
