@@ -85,7 +85,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--output-format", default=_env("FORMAT", "json"),
-        choices=["json", "textgrid", "perf"],
+        choices=["json", "textgrid", "perf", "srt", "vtt"],
+        help="json report, Praat TextGrids, perf JSONL (reference formats), "
+             "or SRT/WebVTT subtitles (beyond-parity)",
     )
     p.add_argument("--textgrid-suffix", default=_env("TEXTGRID_SUFFIX", ""))
     p.add_argument("--no-overwrite", action="store_true",
@@ -280,12 +282,17 @@ def run(argv=None) -> int:
     if args.output_format == "perf":
         return _run_perf(args, model_dir, model_cfg, dataset_root, cases)
 
-    if args.output_format == "textgrid" and args.no_overwrite:
+    per_case_ext = {"textgrid": "TextGrid", "srt": "srt", "vtt": "vtt"}.get(
+        args.output_format
+    )
+    if per_case_ext and args.no_overwrite:
         # operational resume: drop cases whose output already exists BEFORE
         # aligning (python reference --no-overwrite behavior)
         def _exists(c):
             ap = dataset_root / c.audio_path
-            return ap.with_name(f"{ap.stem}{args.textgrid_suffix}.TextGrid").exists()
+            return ap.with_name(
+                f"{ap.stem}{args.textgrid_suffix}.{per_case_ext}"
+            ).exists()
 
         skipped = [c for c in cases if _exists(c)]
         cases = [c for c in cases if not _exists(c)]
@@ -382,21 +389,29 @@ def run(argv=None) -> int:
         raise SystemExit("error: no alignable cases")
     results.sort(key=lambda r: r[0])  # report/output in dataset order
 
-    if args.output_format == "textgrid":
+    if per_case_ext:
         written = 0
         for _, c, out, dur in results:
             audio_path = dataset_root / c.audio_path
             out_path = audio_path.with_name(
-                f"{audio_path.stem}{args.textgrid_suffix}.TextGrid"
+                f"{audio_path.stem}{args.textgrid_suffix}.{per_case_ext}"
             )
             if args.no_overwrite and out_path.exists():
                 continue
-            write_textgrid(
-                audio_path, c.transcript, out.words, dur,
-                suffix=args.textgrid_suffix,
-            )
+            if args.output_format == "textgrid":
+                write_textgrid(
+                    audio_path, c.transcript, out.words, dur,
+                    suffix=args.textgrid_suffix,
+                )
+            else:
+                from ..data.subtitles import write_subtitles
+
+                write_subtitles(
+                    audio_path, out.words, args.output_format,
+                    suffix=args.textgrid_suffix,
+                )
             written += 1
-        print(f"[alignment_report] wrote {written} TextGrid files "
+        print(f"[alignment_report] wrote {written} {per_case_ext} files "
               f"in {time.perf_counter() - t_start:.1f}s", file=sys.stderr)
         return 0
 
