@@ -205,3 +205,16 @@ def test_warmup_aligner_drives_pow2_shapes(server):
     n = warmup_aligner(service.aligner, [0.25], max_batch=4,
                        sample_rate_hz=16000)
     assert n == 3
+
+
+def test_align_subtitle_format(server):
+    url, _ = server
+    rng = np.random.default_rng(3)
+    audio = rng.normal(size=4000).astype(np.float32).tolist()
+    code, out = _post(url, {"audio": audio, "sample_rate_hz": 16000,
+                            "transcript": "THE CAT", "format": "vtt"})
+    assert code == 200 and out["subtitles"].startswith("WEBVTT")
+    assert "words" not in out
+    code, out = _post(url, {"audio": audio, "sample_rate_hz": 16000,
+                            "transcript": "THE CAT", "format": "nope"})
+    assert code == 400 and "unknown format" in out["error"]

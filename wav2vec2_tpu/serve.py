@@ -17,8 +17,10 @@ Design:
   vmap, async submit/drain inside);
 - endpoints:
     POST /align    {"audio": [f32...] | {"pcm16": base64, ...},
-                    "sample_rate_hz": 16000, "transcript": "..."}
-                   → {"words": [{word,start_ms,end_ms,confidence}...],
+                    "sample_rate_hz": 16000, "transcript": "...",
+                    "format": "words"|"srt"|"vtt" (default words)}
+                   → {"words": [{word,start_ms,end_ms,confidence}...] |
+                      "subtitles": "...",
                       "latency_ms": ..., "batch_size": ...}
     GET  /healthz  → {"status":"ok","device":...}
     GET  /stats    → counters (requests, errors, audio seconds, realtime
@@ -229,14 +231,32 @@ def make_handler(service: AlignmentService, device_label: str):
                     )
                 audio = _decode_audio(payload)
                 transcript = str(payload.get("transcript", ""))
+                fmt = str(payload.get("format", "words"))
+                if fmt not in ("words", "srt", "vtt"):
+                    raise InvalidInputError(
+                        f"unknown format {fmt!r} (words|srt|vtt)"
+                    )
                 out, bs = service.submit(audio, transcript)
-                self._reply(200, {
-                    "words": [_word_to_json(w) for w in out.words],
+                body = {
                     "latency_ms": round(
                         (time.perf_counter() - t0) * 1000.0, 2
                     ),
                     "batch_size": bs,
-                })
+                }
+                if fmt == "words":
+                    body["words"] = [_word_to_json(w) for w in out.words]
+                else:
+                    from .data.subtitles import (
+                        format_srt,
+                        format_vtt,
+                        words_to_cues,
+                    )
+
+                    cues = words_to_cues(out.words)
+                    body["subtitles"] = (
+                        format_srt(cues) if fmt == "srt" else format_vtt(cues)
+                    )
+                self._reply(200, body)
             except (InvalidInputError, ValueError, KeyError) as e:
                 with service.stats_lock:
                     service.stats["errors"] += 1
