@@ -417,3 +417,35 @@ def test_align_stream_pad_batch_equivalence(setup):
         assert [x.word for x in got[i].words] == [x.word for x in w.words]
         for wa, wb in zip(w.words, got[i].words):
             assert (wa.start_ms, wa.end_ms) == (wb.start_ms, wb.end_ms)
+
+
+def test_normalize_on_device_equivalence(setup):
+    """normalize_on_device=True (bench.py's and the daemon's path) must
+    match host normalize_audio to word-identical boundaries."""
+    import jax
+
+    from wav2vec2_tpu.config import Wav2Vec2ModelConfig
+    from wav2vec2_tpu.models.params import init_params
+    from wav2vec2_tpu.parallel.batching import BatchAligner
+
+    host_norm, _ = setup
+    cfg = host_norm.cfg
+    dev_norm = BatchAligner(cfg, host_norm.params, host_norm.vocab,
+                            compute_dtype="float32", use_pallas=False,
+                            normalize_on_device=True)
+    rng = np.random.default_rng(21)
+    lens = [4000, 2600, 3333]
+    audios = [(rng.normal(size=n) * 0.3).astype(np.float32) for n in lens]
+    transcripts = ["ab ca", "ba", "ab ba"]
+    a = host_norm.align_utterances(audios, transcripts,
+                                   audio_multiple=500, token_multiple=16)
+    b = dev_norm.align_utterances(audios, transcripts,
+                                  audio_multiple=500, token_multiple=16)
+    n_words = 0
+    for x, y in zip(a, b):
+        assert [w.word for w in x.words] == [w.word for w in y.words]
+        for wx, wy in zip(x.words, y.words):
+            assert (wx.start_ms, wx.end_ms) == (wy.start_ms, wy.end_ms)
+            assert wx.confidence == pytest.approx(wy.confidence, abs=1e-5)
+        n_words += len(x.words)
+    assert n_words > 0

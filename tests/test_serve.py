@@ -5,7 +5,7 @@ import base64
 import json
 import threading
 import urllib.request
-from http.server import ThreadingHTTPServer
+from wav2vec2_tpu.serve import AlignHTTPServer
 
 import numpy as np
 import pytest
@@ -51,7 +51,7 @@ def server(model_dir):
     service, device = build_service_from_model_dir(
         model_dir, compute_dtype="float32", window_ms=30.0, max_batch=8
     )
-    httpd = ThreadingHTTPServer(
+    httpd = AlignHTTPServer(
         ("127.0.0.1", 0), make_handler(service, device)
     )
     t = threading.Thread(target=httpd.serve_forever, daemon=True)

@@ -191,6 +191,19 @@ def _word_to_json(w) -> dict:
     }
 
 
+class AlignHTTPServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer with a production accept backlog.
+
+    The stdlib default `request_queue_size = 5` RSTs excess connections
+    when more than a handful of clients connect in the same instant
+    (observed as client-side ConnectionResetError under a 24-client load
+    test); alignment requests also arrive in bursts by design — the whole
+    point of the micro-batching window."""
+
+    daemon_threads = True
+    request_queue_size = 128
+
+
 def make_handler(service: AlignmentService, device_label: str):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -324,6 +337,11 @@ def build_service_from_model_dir(
     aligner = BatchAligner(
         cfg, params, vocab, compute_dtype=compute_dtype,
         quantize_int8=quantize_int8,
+        # normalization runs inside the batch graph (bench.py's path):
+        # host-side f64 normalize costs ~1-2 s per 32×10 s batch, serial
+        # with the worker thread; equivalence is tested in
+        # tests/test_batch_equivalence.py::test_normalize_on_device_equivalence
+        normalize_on_device=True,
     )
     service = AlignmentService(aligner, window_ms=window_ms,
                                max_batch=max_batch)
@@ -362,7 +380,7 @@ def main(argv=None) -> int:
         n = warmup_aligner(service.aligner, durations, max_batch=args.max_batch)
         print(f"[serve] warmed {n} program shapes in "
               f"{time.perf_counter() - t0:.1f} s", flush=True)
-    server = ThreadingHTTPServer(
+    server = AlignHTTPServer(
         (args.host, args.port), make_handler(service, device)
     )
     print(f"[serve] listening on http://{args.host}:{server.server_port} "
