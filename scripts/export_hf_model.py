@@ -75,7 +75,9 @@ def main(argv=None) -> int:
         return 1
 
     print(f"loading {args.model} ...", file=sys.stderr)
-    model = transformers.Wav2Vec2ForCTC.from_pretrained(args.model)
+    # AutoModelForCTC covers the whole supported family (wav2vec2, HuBERT);
+    # the loader normalizes the weight prefix (models/params.py)
+    model = transformers.AutoModelForCTC.from_pretrained(args.model)
     model.eval()
 
     out_dir = Path(args.out)

@@ -110,3 +110,69 @@ def test_frame_lengths_matches_config():
     got = np.asarray(frame_lengths(cfg, lens))
     expected = [cfg.conv_output_length(int(n)) for n in [1600, 1100, 731, 10]]
     assert list(got) == expected
+
+
+@pytest.mark.parametrize(
+    "stable,norm,proj_ln",
+    [(False, "group", True), (True, "layer", True), (False, "group", False)],
+    ids=["hubert-base", "hubert-large", "hubert-no-proj-ln"],
+)
+def test_hubert_logits_match_transformers(stable, norm, proj_ln):
+    """HuBERT family: same CTC graph, `hubert.*` weight prefix, optional
+    pre-projection LayerNorm (HubertConfig.feat_proj_layer_norm)."""
+    from wav2vec2_tpu.models.params import params_from_flat_dict
+
+    d = make_cfg(do_stable_layer_norm=stable, feat_extract_norm=norm)
+    d["feat_proj_layer_norm"] = proj_ln
+    hf_cfg = transformers.HubertConfig(
+        **d,
+        hidden_dropout=0.0, attention_dropout=0.0, feat_proj_dropout=0.0,
+        final_dropout=0.0, layerdrop=0.0, hidden_act="gelu",
+    )
+    torch.manual_seed(0)
+    tm = transformers.HubertForCTC(hf_cfg).eval()
+    cfg = Wav2Vec2ModelConfig.from_dict(d)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    sd.pop("hubert.masked_spec_embed", None)
+    params = params_from_flat_dict(sd, cfg)
+    assert ("layer_norm" in params["feature_projection"]) == proj_ln
+
+    rng = np.random.default_rng(1)
+    audio = rng.normal(size=(1, 1600)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(audio)).logits.numpy()
+    fwd = make_forward_fn(cfg)
+    got = np.asarray(fwd(params, audio))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_hubert_full_pipeline_alignment():
+    """HuBERT checkpoint through the full batch pipeline end to end."""
+    from wav2vec2_tpu.models.params import params_from_flat_dict
+    from wav2vec2_tpu.parallel.batching import BatchAligner
+
+    d = make_cfg(do_stable_layer_norm=False, feat_extract_norm="group")
+    d["vocab_size"] = 8
+    hf_cfg = transformers.HubertConfig(
+        **d, hidden_dropout=0.0, attention_dropout=0.0, feat_proj_dropout=0.0,
+        final_dropout=0.0, layerdrop=0.0, hidden_act="gelu",
+    )
+    torch.manual_seed(0)
+    tm = transformers.HubertForCTC(hf_cfg).eval()
+    cfg = Wav2Vec2ModelConfig.from_dict(d)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    sd.pop("hubert.masked_spec_embed", None)
+    params = params_from_flat_dict(sd, cfg)
+
+    vocab = {"a": 1, "b": 2, "|": 3, "c": 4}
+    aligner = BatchAligner(cfg, params, vocab, compute_dtype="float32",
+                           use_pallas=False)
+    rng = np.random.default_rng(3)
+    audios = [rng.normal(size=3000).astype(np.float32) for _ in range(2)]
+    outs = aligner.align_utterances(audios, ["ab ca", "ba"],
+                                    audio_multiple=500, token_multiple=16)
+    assert [w.word for w in outs[0].words] == ["ab", "ca"]
+    assert [w.word for w in outs[1].words] == ["ba"]
+    for o in outs:
+        for w in o.words:
+            assert 0 <= w.start_ms < w.end_ms

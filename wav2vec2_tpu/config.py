@@ -52,6 +52,10 @@ class Wav2Vec2ModelConfig:
     dtype: Optional[str] = None
     feat_extract_norm: str = "layer"
     conv_bias: bool = True
+    # HuBERT compatibility (HubertConfig.feat_proj_layer_norm): the CTC
+    # graph is otherwise identical to wav2vec2's, so hubert checkpoints
+    # load through the same pipeline (see models/params.py prefix handling)
+    feat_proj_layer_norm: bool = True
 
     @classmethod
     def from_dict(cls, d: dict) -> "Wav2Vec2ModelConfig":
@@ -66,7 +70,7 @@ class Wav2Vec2ModelConfig:
             raise JsonError("parse config.json", f"missing fields: {missing}")
         kwargs = {k: d[k] for k in required}
         for opt in ["do_stable_layer_norm", "layer_norm_eps", "dtype",
-                    "feat_extract_norm", "conv_bias"]:
+                    "feat_extract_norm", "conv_bias", "feat_proj_layer_norm"]:
             if opt in d and d[opt] is not None:
                 kwargs[opt] = d[opt]
         return cls(**kwargs)

@@ -113,6 +113,7 @@ class _FrozenCfg:
                 cfg.num_conv_pos_embedding_groups, cfg.do_stable_layer_norm,
                 cfg.layer_norm_eps, cfg.pad_token_id, cfg.vocab_size,
                 cfg.feat_extract_norm, cfg.conv_bias,
+                getattr(cfg, "feat_proj_layer_norm", True),
             ),
         )
 

@@ -65,7 +65,11 @@ def feature_extractor_forward(
 def feature_projection_forward(
     params: dict, features: jnp.ndarray, cfg: Wav2Vec2ModelConfig
 ) -> jnp.ndarray:
-    """features [B, T, C_last] → hidden [B, T, H]."""
-    ln = params["layer_norm"]
-    x = layer_norm(features, ln["weight"], ln["bias"], cfg.layer_norm_eps)
+    """features [B, T, C_last] → hidden [B, T, H]. The pre-projection
+    LayerNorm is skipped for HuBERT configs with feat_proj_layer_norm=false
+    (transformers HubertFeatureProjection parity)."""
+    x = features
+    if "layer_norm" in params:
+        ln = params["layer_norm"]
+        x = layer_norm(x, ln["weight"], ln["bias"], cfg.layer_norm_eps)
     return linear(x, params["projection"]["kernel"], params["projection"]["bias"])

@@ -94,12 +94,12 @@ def init_params(
     layers = [enc_layer() for _ in range(cfg.num_hidden_layers)]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
 
+    feature_projection = {"projection": dense(cfg.conv_dim[-1], h)}
+    if cfg.feat_proj_layer_norm:
+        feature_projection["layer_norm"] = ln(cfg.conv_dim[-1])
     return {
         "feature_extractor": {"conv_layers": conv_layers},
-        "feature_projection": {
-            "layer_norm": ln(cfg.conv_dim[-1]),
-            "projection": dense(cfg.conv_dim[-1], h),
-        },
+        "feature_projection": feature_projection,
         "encoder": {
             "pos_conv_embed": pos_conv,
             "layer_norm": ln(h),
@@ -139,6 +139,16 @@ def params_from_flat_dict(
     pure latency on a remote-TPU link)."""
     t = {}
     for name, arr in tensors.items():
+        # HuBERT checkpoints share the graph; only the weight prefix differs
+        # (transformers HubertForCTC: `hubert.*` + `lm_head`)
+        if name.startswith("hubert."):
+            name = "wav2vec2." + name[len("hubert."):]
+        if ".pos_conv_embed.batch_norm." in name:
+            raise RuntimeBackendError(
+                "load weights",
+                "conv_pos_batch_norm=true checkpoints (batch-norm positional "
+                "conv) are not supported; export with weight-norm pos-conv",
+            )
         t[_POS_CONV_ALIASES.get(name, name)] = np.asarray(arr)
 
     def get(name):
@@ -197,7 +207,8 @@ def params_from_flat_dict(
     tree = {
         "feature_extractor": {"conv_layers": conv_layers},
         "feature_projection": {
-            "layer_norm": ln("wav2vec2.feature_projection.layer_norm"),
+            **({"layer_norm": ln("wav2vec2.feature_projection.layer_norm")}
+               if has("wav2vec2.feature_projection.layer_norm.weight") else {}),
             "projection": dense("wav2vec2.feature_projection.projection"),
         },
         "encoder": {

@@ -54,8 +54,37 @@ def xlsr_53(vocab_size: int) -> Wav2Vec2ModelConfig:
     return wav2vec2_large_960h_lv60(vocab_size)
 
 
+def hubert_base_ls960(vocab_size: int = 32) -> Wav2Vec2ModelConfig:
+    """HuBERT's CTC graph is wav2vec2's with a different weight prefix and
+    no pre-projection LayerNorm on some fine-tunes (HubertConfig
+    feat_proj_layer_norm); hubert-base keeps it on."""
+    return Wav2Vec2ModelConfig.from_dict(
+        dict(
+            hidden_size=768, num_hidden_layers=12, num_attention_heads=12,
+            intermediate_size=3072, conv_dim=[512] * 7, **_CONV_7,
+            pad_token_id=0, vocab_size=vocab_size,
+            do_stable_layer_norm=False, feat_extract_norm="group",
+            conv_bias=False, feat_proj_layer_norm=True,
+        )
+    )
+
+
+def hubert_large_ls960_ft(vocab_size: int = 32) -> Wav2Vec2ModelConfig:
+    return Wav2Vec2ModelConfig.from_dict(
+        dict(
+            hidden_size=1024, num_hidden_layers=24, num_attention_heads=16,
+            intermediate_size=4096, conv_dim=[512] * 7, **_CONV_7,
+            pad_token_id=0, vocab_size=vocab_size,
+            do_stable_layer_norm=True, feat_extract_norm="layer",
+            conv_bias=True, feat_proj_layer_norm=True,
+        )
+    )
+
+
 PRESETS = {
     "wav2vec2-base-960h": wav2vec2_base_960h,
     "wav2vec2-large-960h-lv60": wav2vec2_large_960h_lv60,
     "xlsr-53": xlsr_53,
+    "hubert-base-ls960": hubert_base_ls960,
+    "hubert-large-ls960-ft": hubert_large_ls960_ft,
 }
