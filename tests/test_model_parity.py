@@ -176,3 +176,77 @@ def test_hubert_full_pipeline_alignment():
     for o in outs:
         for w in o.words:
             assert 0 <= w.start_ms < w.end_ms
+
+
+def test_data2vec_audio_logits_match_transformers():
+    """data2vec-audio: stacked positional convs (non-affine LN + GELU per
+    layer) replace wav2vec2's single weight-normed conv; LayerNorm on every
+    extractor conv; post-norm encoder."""
+    from wav2vec2_tpu.models.params import params_from_flat_dict
+
+    d = dict(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, conv_dim=[16, 16], conv_kernel=[10, 3],
+        conv_stride=[5, 2], num_conv_pos_embeddings=3,
+        num_conv_pos_embedding_groups=4, conv_pos_kernel_size=19,
+        pad_token_id=0, vocab_size=12,
+    )
+    hf_cfg = transformers.Data2VecAudioConfig(
+        **d, hidden_dropout=0.0, attention_dropout=0.0, feat_proj_dropout=0.0,
+        final_dropout=0.0, layerdrop=0.0, hidden_act="gelu",
+    )
+    torch.manual_seed(0)
+    tm = transformers.Data2VecAudioForCTC(hf_cfg).eval()
+    cfg = Wav2Vec2ModelConfig.from_dict(
+        {**d, "model_type": "data2vec-audio", "feat_extract_norm": "layer",
+         "conv_bias": False}
+    )
+    assert cfg.pos_conv_style == "data2vec"
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    sd.pop("data2vec_audio.masked_spec_embed", None)
+    params = params_from_flat_dict(sd, cfg)
+    assert len(params["encoder"]["pos_conv_embed"]["layers"]) == 3
+
+    rng = np.random.default_rng(1)
+    audio = rng.normal(size=(1, 1600)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(audio)).logits.numpy()
+    fwd = make_forward_fn(cfg)
+    got = np.asarray(fwd(params, audio))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_data2vec_padded_batch_matches_unpadded():
+    """The pos-conv stack re-zeroes padded frames between layers — without
+    that, padded activations leak back into valid frames via conv taps."""
+    import jax.numpy as jnp
+
+    from wav2vec2_tpu.models.params import init_params
+
+    cfg = Wav2Vec2ModelConfig.from_dict(dict(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, conv_dim=[16, 16], conv_kernel=[10, 3],
+        conv_stride=[5, 2], num_conv_pos_embeddings=3,
+        num_conv_pos_embedding_groups=4, conv_pos_kernel_size=19,
+        pad_token_id=0, vocab_size=12, model_type="data2vec-audio",
+        feat_extract_norm="layer", conv_bias=False,
+    ))
+    import jax
+
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(2)
+    lens = [1600, 900]
+    n_pad = max(lens)
+    batch = np.zeros((2, n_pad), np.float32)
+    audios = [rng.normal(size=(n,)).astype(np.float32) for n in lens]
+    for i, a in enumerate(audios):
+        batch[i, : len(a)] = a
+    fwd = make_forward_fn(cfg)
+    batched = np.asarray(fwd(params, batch, jnp.asarray(lens)))
+    for i, a in enumerate(audios):
+        single = np.asarray(fwd(params, a[None, :]))
+        t_i = cfg.conv_output_length(lens[i])
+        np.testing.assert_allclose(
+            batched[i, :t_i], single[0], rtol=2e-4, atol=2e-4,
+        )

@@ -56,6 +56,12 @@ class Wav2Vec2ModelConfig:
     # graph is otherwise identical to wav2vec2's, so hubert checkpoints
     # load through the same pipeline (see models/params.py prefix handling)
     feat_proj_layer_norm: bool = True
+    # data2vec-audio compatibility: its positional embedding is a STACK of
+    # num_conv_pos_embeddings smaller grouped convs (kernel
+    # conv_pos_kernel_size, non-affine LayerNorm + GELU each) instead of
+    # one weight-normed conv; detected from config.json model_type
+    pos_conv_style: str = "wav2vec2"  # "wav2vec2" | "data2vec"
+    conv_pos_kernel_size: int = 19
 
     @classmethod
     def from_dict(cls, d: dict) -> "Wav2Vec2ModelConfig":
@@ -70,9 +76,12 @@ class Wav2Vec2ModelConfig:
             raise JsonError("parse config.json", f"missing fields: {missing}")
         kwargs = {k: d[k] for k in required}
         for opt in ["do_stable_layer_norm", "layer_norm_eps", "dtype",
-                    "feat_extract_norm", "conv_bias", "feat_proj_layer_norm"]:
+                    "feat_extract_norm", "conv_bias", "feat_proj_layer_norm",
+                    "pos_conv_style", "conv_pos_kernel_size"]:
             if opt in d and d[opt] is not None:
                 kwargs[opt] = d[opt]
+        if d.get("model_type") == "data2vec-audio":
+            kwargs["pos_conv_style"] = "data2vec"
         return cls(**kwargs)
 
     @classmethod

@@ -114,6 +114,8 @@ class _FrozenCfg:
                 cfg.layer_norm_eps, cfg.pad_token_id, cfg.vocab_size,
                 cfg.feat_extract_norm, cfg.conv_bias,
                 getattr(cfg, "feat_proj_layer_norm", True),
+                getattr(cfg, "pos_conv_style", "wav2vec2"),
+                getattr(cfg, "conv_pos_kernel_size", 19),
             ),
         )
 

@@ -62,6 +62,42 @@ def pos_conv_forward(
     return gelu(h)
 
 
+def pos_conv_stack_forward(
+    params: dict,
+    x: jnp.ndarray,
+    cfg: Wav2Vec2ModelConfig,
+    frame_mask: jnp.ndarray | None,
+) -> jnp.ndarray:
+    """data2vec-audio positional embedding: a stack of
+    cfg.num_conv_pos_embeddings grouped convs (kernel
+    cfg.conv_pos_kernel_size, odd → length-preserving), each followed by a
+    NON-affine LayerNorm over channels and GELU (transformers
+    Data2VecAudioPositionalConvLayer parity; no weight norm).
+
+    Padding-exactness: unlike the single wav2vec2 conv, a multi-layer stack
+    lets padded positions' (nonzero) intermediate activations leak back into
+    valid frames at the next conv — so padded frames are re-zeroed after
+    every layer, reproducing the zero padding the unpadded conv would see.
+    """
+    pad = cfg.conv_pos_kernel_size // 2
+    for lp in params["layers"]:
+        w = lp["weight"].transpose(2, 1, 0).astype(x.dtype)  # [K, I/G, O]
+        x = jax.lax.conv_general_dilated(
+            x, w, window_strides=(1,), padding=[(pad, pad)],
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            feature_group_count=cfg.num_conv_pos_embedding_groups,
+        )
+        x = x + lp["bias"].astype(x.dtype)
+        mean = jnp.mean(x.astype(jnp.float32), axis=-1, keepdims=True)
+        var = jnp.var(x.astype(jnp.float32), axis=-1, keepdims=True)
+        x = ((x.astype(jnp.float32) - mean)
+             * jax.lax.rsqrt(var + cfg.layer_norm_eps)).astype(x.dtype)
+        x = gelu(x)
+        if frame_mask is not None:
+            x = x * frame_mask[:, :, None].astype(x.dtype)
+    return x
+
+
 def _self_attention(
     p: dict,
     x: jnp.ndarray,
@@ -160,7 +196,12 @@ def encoder_forward(
             frame_mask[:, None, None, :].astype(bool), 0.0, -jnp.inf
         ).astype(jnp.float32)
 
-    x = x + pos_conv_forward(params["pos_conv_embed"], x, cfg)
+    if "layers" in params["pos_conv_embed"]:
+        x = x + pos_conv_stack_forward(
+            params["pos_conv_embed"], x, cfg, frame_mask
+        )
+    else:
+        x = x + pos_conv_forward(params["pos_conv_embed"], x, cfg)
     enc_ln = params["layer_norm"]
     if not cfg.do_stable_layer_norm:
         x = layer_norm(x, enc_ln["weight"], enc_ln["bias"], cfg.layer_norm_eps)

@@ -69,13 +69,26 @@ def init_params(
 
     h, ffn = cfg.hidden_size, cfg.intermediate_size
     g = cfg.num_conv_pos_embedding_groups
-    kpos = cfg.num_conv_pos_embeddings
-    pos_conv = {
-        "weight": (
-            jax.random.normal(next(k_it), (h, h // g, kpos)) * (1.0 / (h // g * kpos)) ** 0.5
-        ).astype(dtype),
-        "bias": jnp.zeros((h,), dtype),
-    }
+    if cfg.pos_conv_style == "data2vec":
+        kpos = cfg.conv_pos_kernel_size
+        pos_conv = {"layers": [
+            {
+                "weight": (
+                    jax.random.normal(next(k_it), (h, h // g, kpos))
+                    * (1.0 / (h // g * kpos)) ** 0.5
+                ).astype(dtype),
+                "bias": jnp.zeros((h,), dtype),
+            }
+            for _ in range(cfg.num_conv_pos_embeddings)
+        ]}
+    else:
+        kpos = cfg.num_conv_pos_embeddings
+        pos_conv = {
+            "weight": (
+                jax.random.normal(next(k_it), (h, h // g, kpos)) * (1.0 / (h // g * kpos)) ** 0.5
+            ).astype(dtype),
+            "bias": jnp.zeros((h,), dtype),
+        }
 
     def enc_layer():
         return {
@@ -143,6 +156,8 @@ def params_from_flat_dict(
         # (transformers HubertForCTC: `hubert.*` + `lm_head`)
         if name.startswith("hubert."):
             name = "wav2vec2." + name[len("hubert."):]
+        elif name.startswith("data2vec_audio."):
+            name = "wav2vec2." + name[len("data2vec_audio."):]
         if ".pos_conv_embed.batch_norm." in name:
             raise RuntimeBackendError(
                 "load weights",
@@ -177,14 +192,25 @@ def params_from_flat_dict(
             layer["layer_norm"] = ln(p + ".layer_norm")
         conv_layers.append(layer)
 
-    pos_p = "wav2vec2.encoder.pos_conv_embed.conv"
-    if has(pos_p + ".weight_v"):
-        pos_weight = fold_weight_norm(
-            get(pos_p + ".weight_g"), get(pos_p + ".weight_v")
-        ).astype(dtype)
+    if has("wav2vec2.encoder.pos_conv_embed.layers.0.conv.weight"):
+        # data2vec-audio: stacked positional convs (no weight norm)
+        stack = []
+        i = 0
+        while has(f"wav2vec2.encoder.pos_conv_embed.layers.{i}.conv.weight"):
+            p = f"wav2vec2.encoder.pos_conv_embed.layers.{i}.conv"
+            stack.append({"weight": get(p + ".weight"),
+                          "bias": get(p + ".bias")})
+            i += 1
+        pos_conv = {"layers": stack}
     else:
-        pos_weight = get(pos_p + ".weight")
-    pos_conv = {"weight": pos_weight, "bias": get(pos_p + ".bias")}
+        pos_p = "wav2vec2.encoder.pos_conv_embed.conv"
+        if has(pos_p + ".weight_v"):
+            pos_weight = fold_weight_norm(
+                get(pos_p + ".weight_g"), get(pos_p + ".weight_v")
+            ).astype(dtype)
+        else:
+            pos_weight = get(pos_p + ".weight")
+        pos_conv = {"weight": pos_weight, "bias": get(pos_p + ".bias")}
 
     def enc_layer(i):
         p = f"wav2vec2.encoder.layers.{i}"

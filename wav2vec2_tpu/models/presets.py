@@ -81,10 +81,28 @@ def hubert_large_ls960_ft(vocab_size: int = 32) -> Wav2Vec2ModelConfig:
     )
 
 
+def data2vec_audio_base_960h(vocab_size: int = 32) -> Wav2Vec2ModelConfig:
+    """data2vec-audio: LayerNorm on every extractor conv, post-norm encoder,
+    and a 19-layer stack of kernel-19 grouped positional convs."""
+    return Wav2Vec2ModelConfig.from_dict(
+        dict(
+            hidden_size=768, num_hidden_layers=12, num_attention_heads=12,
+            intermediate_size=3072, conv_dim=[512] * 7,
+            conv_kernel=[10, 3, 3, 3, 3, 2, 2],
+            conv_stride=[5, 2, 2, 2, 2, 2, 2],
+            num_conv_pos_embeddings=19, num_conv_pos_embedding_groups=16,
+            conv_pos_kernel_size=19, pad_token_id=0, vocab_size=vocab_size,
+            do_stable_layer_norm=False, feat_extract_norm="layer",
+            conv_bias=False, model_type="data2vec-audio",
+        )
+    )
+
+
 PRESETS = {
     "wav2vec2-base-960h": wav2vec2_base_960h,
     "wav2vec2-large-960h-lv60": wav2vec2_large_960h_lv60,
     "xlsr-53": xlsr_53,
     "hubert-base-ls960": hubert_base_ls960,
     "hubert-large-ls960-ft": hubert_large_ls960_ft,
+    "data2vec-audio-base-960h": data2vec_audio_base_960h,
 }
