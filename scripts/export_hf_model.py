@@ -63,6 +63,9 @@ def main(argv=None) -> int:
                         "onnxruntime backend (requires the onnx package — "
                         "the reference exporter's dependency gate)")
     p.add_argument("--onnx-opset", type=int, default=14)
+    p.add_argument("--target-lang", default=None,
+                   help="for MMS adapter checkpoints (e.g. facebook/mms-1b-all): "
+                        "merge this language's adapter + lm_head into the export")
     args = p.parse_args(argv)
 
     try:
@@ -75,9 +78,11 @@ def main(argv=None) -> int:
         return 1
 
     print(f"loading {args.model} ...", file=sys.stderr)
-    # AutoModelForCTC covers the whole supported family (wav2vec2, HuBERT);
-    # the loader normalizes the weight prefix (models/params.py)
-    model = transformers.AutoModelForCTC.from_pretrained(args.model)
+    # AutoModelForCTC covers the whole supported family (wav2vec2, HuBERT,
+    # data2vec-audio, MMS); the loader normalizes the weight prefix
+    # (models/params.py)
+    kw = {"target_lang": args.target_lang} if args.target_lang else {}
+    model = transformers.AutoModelForCTC.from_pretrained(args.model, **kw)
     model.eval()
 
     out_dir = Path(args.out)

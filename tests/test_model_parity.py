@@ -250,3 +250,34 @@ def test_data2vec_padded_batch_matches_unpadded():
         np.testing.assert_allclose(
             batched[i, :t_i], single[0], rtol=2e-4, atol=2e-4,
         )
+
+
+def test_mms_adapter_logits_match_transformers():
+    """MMS-style attention adapters (adapter_attn_dim): LN → down → ReLU →
+    up, residual at the end of every encoder layer (the per-language
+    adapter mechanism of facebook/mms-1b-all)."""
+    from wav2vec2_tpu.models.params import params_from_torch_model
+
+    d = make_cfg(do_stable_layer_norm=True, feat_extract_norm="layer")
+    hf_cfg = transformers.Wav2Vec2Config(
+        **d, adapter_attn_dim=8,
+        hidden_dropout=0.0, attention_dropout=0.0, feat_proj_dropout=0.0,
+        final_dropout=0.0, layerdrop=0.0, hidden_act="gelu",
+    )
+    torch.manual_seed(0)
+    tm = transformers.Wav2Vec2ForCTC(hf_cfg).eval()
+    cfg = Wav2Vec2ModelConfig.from_dict({**d, "adapter_attn_dim": 8})
+    params = params_from_torch_model(tm, cfg)
+    assert "adapter_layer" in jax_layer_keys(params)
+
+    rng = np.random.default_rng(1)
+    audio = rng.normal(size=(1, 1600)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(audio)).logits.numpy()
+    fwd = make_forward_fn(cfg)
+    got = np.asarray(fwd(params, audio))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def jax_layer_keys(params):
+    return set(params["encoder"]["layers"].keys())

@@ -62,6 +62,10 @@ class Wav2Vec2ModelConfig:
     # one weight-normed conv; detected from config.json model_type
     pos_conv_style: str = "wav2vec2"  # "wav2vec2" | "data2vec"
     conv_pos_kernel_size: int = 19
+    # MMS compatibility (Wav2Vec2Config.adapter_attn_dim): per-layer
+    # attention adapters; the per-language weights are merged into the
+    # checkpoint at export time (scripts/export_hf_model.py --target-lang)
+    adapter_attn_dim: Optional[int] = None
 
     @classmethod
     def from_dict(cls, d: dict) -> "Wav2Vec2ModelConfig":
@@ -77,7 +81,8 @@ class Wav2Vec2ModelConfig:
         kwargs = {k: d[k] for k in required}
         for opt in ["do_stable_layer_norm", "layer_norm_eps", "dtype",
                     "feat_extract_norm", "conv_bias", "feat_proj_layer_norm",
-                    "pos_conv_style", "conv_pos_kernel_size"]:
+                    "pos_conv_style", "conv_pos_kernel_size",
+                    "adapter_attn_dim"]:
             if opt in d and d[opt] is not None:
                 kwargs[opt] = d[opt]
         if d.get("model_type") == "data2vec-audio":

@@ -116,6 +116,7 @@ class _FrozenCfg:
                 getattr(cfg, "feat_proj_layer_norm", True),
                 getattr(cfg, "pos_conv_style", "wav2vec2"),
                 getattr(cfg, "conv_pos_kernel_size", 19),
+                getattr(cfg, "adapter_attn_dim", None),
             ),
         )
 

@@ -143,6 +143,19 @@ def _feed_forward(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     return linear_maybe_quantized(up, p["output_dense"])
 
 
+def _attn_adapter(lp: dict, x: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """MMS-style attention adapter (transformers Wav2Vec2AttnAdapterLayer):
+    LN → down-proj → ReLU → up-proj, residual-added at the end of each
+    encoder layer. The per-language adapter weights are what
+    `facebook/mms-1b-all` swaps per target language (merged into the
+    checkpoint at export time by --target-lang)."""
+    a = lp["adapter_layer"]
+    h = layer_norm(x, a["norm"]["weight"], a["norm"]["bias"], eps)
+    h = linear_maybe_quantized(h, a["linear_1"])
+    h = jnp.maximum(h, 0)
+    return linear_maybe_quantized(h, a["linear_2"])
+
+
 def _encoder_layer(
     lp: dict,
     x: jnp.ndarray,
@@ -159,23 +172,27 @@ def _encoder_layer(
             mask_bias,
             nh,
         )
-        return h + _feed_forward(
+        y = h + _feed_forward(
             lp["feed_forward"],
             layer_norm(h, lp["final_layer_norm"]["weight"], lp["final_layer_norm"]["bias"], eps),
         )
-    # post-norm (wav2vec2-base): h = ln1(x + attn(x)); y = ln2(h + ff(h))
-    h = layer_norm(
-        x + _self_attention(lp["attention"], x, mask_bias, nh),
-        lp["layer_norm"]["weight"],
-        lp["layer_norm"]["bias"],
-        eps,
-    )
-    return layer_norm(
-        h + _feed_forward(lp["feed_forward"], h),
-        lp["final_layer_norm"]["weight"],
-        lp["final_layer_norm"]["bias"],
-        eps,
-    )
+    else:
+        # post-norm (wav2vec2-base): h = ln1(x + attn(x)); y = ln2(h + ff(h))
+        h = layer_norm(
+            x + _self_attention(lp["attention"], x, mask_bias, nh),
+            lp["layer_norm"]["weight"],
+            lp["layer_norm"]["bias"],
+            eps,
+        )
+        y = layer_norm(
+            h + _feed_forward(lp["feed_forward"], h),
+            lp["final_layer_norm"]["weight"],
+            lp["final_layer_norm"]["bias"],
+            eps,
+        )
+    if "adapter_layer" in lp:
+        y = y + _attn_adapter(lp, y, eps)
+    return y
 
 
 def encoder_forward(

@@ -91,7 +91,7 @@ def init_params(
         }
 
     def enc_layer():
-        return {
+        layer = {
             "attention": {
                 "q_proj": dense(h, h), "k_proj": dense(h, h),
                 "v_proj": dense(h, h), "out_proj": dense(h, h),
@@ -103,6 +103,13 @@ def init_params(
             },
             "final_layer_norm": ln(h),
         }
+        if cfg.adapter_attn_dim:
+            layer["adapter_layer"] = {
+                "norm": ln(h),
+                "linear_1": dense(h, cfg.adapter_attn_dim),
+                "linear_2": dense(cfg.adapter_attn_dim, h),
+            }
+        return layer
 
     layers = [enc_layer() for _ in range(cfg.num_hidden_layers)]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
@@ -214,7 +221,7 @@ def params_from_flat_dict(
 
     def enc_layer(i):
         p = f"wav2vec2.encoder.layers.{i}"
-        return {
+        layer = {
             "attention": {
                 k: dense(f"{p}.attention.{k}")
                 for k in ("q_proj", "k_proj", "v_proj", "out_proj")
@@ -226,6 +233,14 @@ def params_from_flat_dict(
             },
             "final_layer_norm": ln(p + ".final_layer_norm"),
         }
+        if has(p + ".adapter_layer.norm.weight"):
+            # MMS attention adapter (per-language weights merged at export)
+            layer["adapter_layer"] = {
+                "norm": ln(p + ".adapter_layer.norm"),
+                "linear_1": dense(p + ".adapter_layer.linear_1"),
+                "linear_2": dense(p + ".adapter_layer.linear_2"),
+            }
+        return layer
 
     layers = [enc_layer(i) for i in range(cfg.num_hidden_layers)]
     stacked = jax.tree.map(lambda *xs: np.stack(xs), *layers)

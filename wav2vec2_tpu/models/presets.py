@@ -98,6 +98,21 @@ def data2vec_audio_base_960h(vocab_size: int = 32) -> Wav2Vec2ModelConfig:
     )
 
 
+def mms_1b(vocab_size: int) -> Wav2Vec2ModelConfig:
+    """facebook/mms-1b-all geometry: 48-layer pre-norm encoder with
+    per-language attention adapters (adapter_attn_dim=16); vocab size is
+    per-language (export with --target-lang to merge adapter + lm_head)."""
+    return Wav2Vec2ModelConfig.from_dict(
+        dict(
+            hidden_size=1280, num_hidden_layers=48, num_attention_heads=16,
+            intermediate_size=5120, conv_dim=[512] * 7, **_CONV_7,
+            pad_token_id=0, vocab_size=vocab_size,
+            do_stable_layer_norm=True, feat_extract_norm="layer",
+            conv_bias=True, adapter_attn_dim=16,
+        )
+    )
+
+
 PRESETS = {
     "wav2vec2-base-960h": wav2vec2_base_960h,
     "wav2vec2-large-960h-lv60": wav2vec2_large_960h_lv60,
@@ -105,4 +120,5 @@ PRESETS = {
     "hubert-base-ls960": hubert_base_ls960,
     "hubert-large-ls960-ft": hubert_large_ls960_ft,
     "data2vec-audio-base-960h": data2vec_audio_base_960h,
+    "mms-1b": mms_1b,
 }
