@@ -281,3 +281,42 @@ def test_mms_adapter_logits_match_transformers():
 
 def jax_layer_keys(params):
     return set(params["encoder"]["layers"].keys())
+
+
+@pytest.mark.parametrize(
+    "stable,norm",
+    [(False, "group"), (True, "layer")],
+    ids=["wavlm-base", "wavlm-large"],
+)
+def test_wavlm_logits_match_transformers(stable, norm):
+    """WavLM: gated relative-position-bias attention (T5-style buckets;
+    layer 0's embedding shared across layers, per-layer query gates)."""
+    from wav2vec2_tpu.models.params import params_from_flat_dict
+
+    d = make_cfg(do_stable_layer_norm=stable, feat_extract_norm=norm)
+    hf_cfg = transformers.WavLMConfig(
+        **d, num_buckets=32, max_bucket_distance=100,
+        hidden_dropout=0.0, attention_dropout=0.0, feat_proj_dropout=0.0,
+        final_dropout=0.0, layerdrop=0.0, hidden_act="gelu",
+    )
+    torch.manual_seed(0)
+    tm = transformers.WavLMForCTC(hf_cfg).eval()
+    cfg = Wav2Vec2ModelConfig.from_dict(
+        {**d, "model_type": "wavlm", "num_buckets": 32,
+         "max_bucket_distance": 100}
+    )
+    assert cfg.attention_style == "wavlm"
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    sd.pop("wavlm.masked_spec_embed", None)
+    params = params_from_flat_dict(sd, cfg)
+    assert "rel_attn_embed" in params["encoder"]
+    assert "gru_rel_pos_linear" in params["encoder"]["layers"]["attention"]
+
+    rng = np.random.default_rng(1)
+    audio = rng.normal(size=(1, 1600)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(audio)).logits.numpy()
+    fwd = make_forward_fn(cfg)
+    got = np.asarray(fwd(params, audio))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)

@@ -66,6 +66,12 @@ class Wav2Vec2ModelConfig:
     # attention adapters; the per-language weights are merged into the
     # checkpoint at export time (scripts/export_hf_model.py --target-lang)
     adapter_attn_dim: Optional[int] = None
+    # WavLM compatibility: gated relative-position-bias attention
+    # (T5-style buckets; bias from layer 0's embedding, per-layer gates);
+    # detected from config.json model_type
+    attention_style: str = "wav2vec2"  # "wav2vec2" | "wavlm"
+    num_buckets: int = 320
+    max_bucket_distance: int = 800
 
     @classmethod
     def from_dict(cls, d: dict) -> "Wav2Vec2ModelConfig":
@@ -82,11 +88,14 @@ class Wav2Vec2ModelConfig:
         for opt in ["do_stable_layer_norm", "layer_norm_eps", "dtype",
                     "feat_extract_norm", "conv_bias", "feat_proj_layer_norm",
                     "pos_conv_style", "conv_pos_kernel_size",
-                    "adapter_attn_dim"]:
+                    "adapter_attn_dim", "attention_style", "num_buckets",
+                    "max_bucket_distance"]:
             if opt in d and d[opt] is not None:
                 kwargs[opt] = d[opt]
         if d.get("model_type") == "data2vec-audio":
             kwargs["pos_conv_style"] = "data2vec"
+        if d.get("model_type") == "wavlm":
+            kwargs["attention_style"] = "wavlm"
         return cls(**kwargs)
 
     @classmethod

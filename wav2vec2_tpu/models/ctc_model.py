@@ -117,6 +117,9 @@ class _FrozenCfg:
                 getattr(cfg, "pos_conv_style", "wav2vec2"),
                 getattr(cfg, "conv_pos_kernel_size", 19),
                 getattr(cfg, "adapter_attn_dim", None),
+                getattr(cfg, "attention_style", "wav2vec2"),
+                getattr(cfg, "num_buckets", 320),
+                getattr(cfg, "max_bucket_distance", 800),
             ),
         )
 

@@ -103,10 +103,25 @@ def _self_attention(
     x: jnp.ndarray,
     mask_bias: jnp.ndarray | None,
     num_heads: int,
+    position_bias: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     b, t, h = x.shape
     head_dim = h // num_heads
     scale = jnp.asarray(head_dim ** -0.5, dtype=x.dtype)
+
+    if position_bias is not None:
+        # WavLM gated relative position bias (WavLMAttention parity): the
+        # shared [H, T, T] bucketed bias is scaled per (batch, head, query
+        # position) by gates computed from the layer input
+        g = x.reshape(b, t, num_heads, head_dim).transpose(0, 2, 1, 3)
+        proj = linear_maybe_quantized(g, p["gru_rel_pos_linear"])
+        proj = proj.reshape(b, num_heads, t, 2, 4).sum(-1).astype(jnp.float32)
+        gates = jax.nn.sigmoid(proj)  # [B, H, T, 2]
+        ga, gb = gates[..., 0:1], gates[..., 1:2]
+        const = p["gru_rel_pos_const"].reshape(1, num_heads, 1, 1)
+        gate_out = ga * (gb * const.astype(jnp.float32) - 1.0) + 2.0
+        gated_bias = gate_out * position_bias[None].astype(jnp.float32)
+        mask_bias = gated_bias if mask_bias is None else gated_bias + mask_bias
 
     def split_heads(y):
         return y.reshape(b, t, num_heads, head_dim).transpose(0, 2, 1, 3)
@@ -143,6 +158,33 @@ def _feed_forward(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     return linear_maybe_quantized(up, p["output_dense"])
 
 
+def wavlm_position_bias(
+    rel_attn_embed: jnp.ndarray, t: int, num_buckets: int, max_distance: int
+) -> jnp.ndarray:
+    """WavLM's shared relative position bias [H, T, T] (T5-style buckets,
+    WavLMAttention.compute_bias parity). Computed ONCE per forward from
+    layer 0's embedding and reused by every layer (each applies its own
+    gates)."""
+    import math
+
+    ctx = jnp.arange(t)[:, None]
+    mem = jnp.arange(t)[None, :]
+    rel = mem - ctx
+    n = num_buckets // 2
+    buckets = (rel > 0).astype(jnp.int32) * n
+    rel = jnp.abs(rel)
+    max_exact = n // 2
+    large = max_exact + (
+        jnp.log(jnp.maximum(rel, 1).astype(jnp.float32) / max_exact)
+        / math.log(max_distance / max_exact)
+        * (n - max_exact)
+    ).astype(jnp.int32)
+    large = jnp.minimum(large, n - 1)
+    buckets = buckets + jnp.where(rel < max_exact, rel, large)
+    values = rel_attn_embed[buckets]  # [T, T, H]
+    return values.transpose(2, 0, 1)
+
+
 def _attn_adapter(lp: dict, x: jnp.ndarray, eps: float) -> jnp.ndarray:
     """MMS-style attention adapter (transformers Wav2Vec2AttnAdapterLayer):
     LN → down-proj → ReLU → up-proj, residual-added at the end of each
@@ -161,6 +203,7 @@ def _encoder_layer(
     x: jnp.ndarray,
     mask_bias: jnp.ndarray | None,
     cfg: Wav2Vec2ModelConfig,
+    position_bias: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     eps = cfg.layer_norm_eps
     nh = cfg.num_attention_heads
@@ -171,6 +214,7 @@ def _encoder_layer(
             layer_norm(x, lp["layer_norm"]["weight"], lp["layer_norm"]["bias"], eps),
             mask_bias,
             nh,
+            position_bias,
         )
         y = h + _feed_forward(
             lp["feed_forward"],
@@ -179,7 +223,7 @@ def _encoder_layer(
     else:
         # post-norm (wav2vec2-base): h = ln1(x + attn(x)); y = ln2(h + ff(h))
         h = layer_norm(
-            x + _self_attention(lp["attention"], x, mask_bias, nh),
+            x + _self_attention(lp["attention"], x, mask_bias, nh, position_bias),
             lp["layer_norm"]["weight"],
             lp["layer_norm"]["bias"],
             eps,
@@ -225,8 +269,16 @@ def encoder_forward(
         if frame_mask is not None:
             x = x * frame_mask[:, :, None].astype(x.dtype)
 
+    position_bias = None
+    if "rel_attn_embed" in params:
+        position_bias = wavlm_position_bias(
+            params["rel_attn_embed"], x.shape[1],
+            getattr(cfg, "num_buckets", 320),
+            getattr(cfg, "max_bucket_distance", 800),
+        )
+
     def scan_body(h, lp):
-        return _encoder_layer(lp, h, mask_bias, cfg), None
+        return _encoder_layer(lp, h, mask_bias, cfg, position_bias), None
 
     x, _ = jax.lax.scan(scan_body, x, params["layers"])
 

@@ -109,6 +109,12 @@ def init_params(
                 "linear_1": dense(h, cfg.adapter_attn_dim),
                 "linear_2": dense(cfg.adapter_attn_dim, h),
             }
+        if getattr(cfg, "attention_style", "wav2vec2") == "wavlm":
+            hd = h // cfg.num_attention_heads
+            layer["attention"]["gru_rel_pos_const"] = jnp.ones(
+                (1, cfg.num_attention_heads, 1, 1), dtype
+            )
+            layer["attention"]["gru_rel_pos_linear"] = dense(hd, 8)
         return layer
 
     layers = [enc_layer() for _ in range(cfg.num_hidden_layers)]
@@ -124,6 +130,13 @@ def init_params(
             "pos_conv_embed": pos_conv,
             "layer_norm": ln(h),
             "layers": stacked,
+            **({"rel_attn_embed": (
+                jax.random.normal(
+                    next(k_it), (cfg.num_buckets, cfg.num_attention_heads)
+                ) * 0.02
+            ).astype(dtype)}
+               if getattr(cfg, "attention_style", "wav2vec2") == "wavlm"
+               else {}),
         },
         "lm_head": dense(h, cfg.vocab_size),
     }
@@ -165,6 +178,8 @@ def params_from_flat_dict(
             name = "wav2vec2." + name[len("hubert."):]
         elif name.startswith("data2vec_audio."):
             name = "wav2vec2." + name[len("data2vec_audio."):]
+        elif name.startswith("wavlm."):
+            name = "wav2vec2." + name[len("wavlm."):]
         if ".pos_conv_embed.batch_norm." in name:
             raise RuntimeBackendError(
                 "load weights",
@@ -240,6 +255,14 @@ def params_from_flat_dict(
                 "linear_1": dense(p + ".adapter_layer.linear_1"),
                 "linear_2": dense(p + ".adapter_layer.linear_2"),
             }
+        if has(p + ".attention.gru_rel_pos_const"):
+            # WavLM gated relative-position-bias parameters (per layer)
+            layer["attention"]["gru_rel_pos_const"] = get(
+                p + ".attention.gru_rel_pos_const"
+            )
+            layer["attention"]["gru_rel_pos_linear"] = dense(
+                p + ".attention.gru_rel_pos_linear"
+            )
         return layer
 
     layers = [enc_layer(i) for i in range(cfg.num_hidden_layers)]
@@ -256,6 +279,13 @@ def params_from_flat_dict(
             "pos_conv_embed": pos_conv,
             "layer_norm": ln("wav2vec2.encoder.layer_norm"),
             "layers": stacked,
+            # WavLM: layer 0 owns the shared bucketed bias embedding; it is
+            # lifted to the encoder level so the layer stack stays uniform
+            # for lax.scan
+            **({"rel_attn_embed": get(
+                "wav2vec2.encoder.layers.0.attention.rel_attn_embed.weight")}
+               if has("wav2vec2.encoder.layers.0.attention.rel_attn_embed.weight")
+               else {}),
         },
         "lm_head": dense("lm_head"),
     }

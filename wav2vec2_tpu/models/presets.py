@@ -113,6 +113,32 @@ def mms_1b(vocab_size: int) -> Wav2Vec2ModelConfig:
     )
 
 
+def wavlm_base_plus(vocab_size: int = 32) -> Wav2Vec2ModelConfig:
+    """WavLM: wav2vec2-base geometry + gated relative-position-bias
+    attention (num_buckets=320, max_bucket_distance=800)."""
+    return Wav2Vec2ModelConfig.from_dict(
+        dict(
+            hidden_size=768, num_hidden_layers=12, num_attention_heads=12,
+            intermediate_size=3072, conv_dim=[512] * 7, **_CONV_7,
+            pad_token_id=0, vocab_size=vocab_size,
+            do_stable_layer_norm=False, feat_extract_norm="group",
+            conv_bias=False, model_type="wavlm",
+        )
+    )
+
+
+def wavlm_large(vocab_size: int = 32) -> Wav2Vec2ModelConfig:
+    return Wav2Vec2ModelConfig.from_dict(
+        dict(
+            hidden_size=1024, num_hidden_layers=24, num_attention_heads=16,
+            intermediate_size=4096, conv_dim=[512] * 7, **_CONV_7,
+            pad_token_id=0, vocab_size=vocab_size,
+            do_stable_layer_norm=True, feat_extract_norm="layer",
+            conv_bias=True, model_type="wavlm",
+        )
+    )
+
+
 PRESETS = {
     "wav2vec2-base-960h": wav2vec2_base_960h,
     "wav2vec2-large-960h-lv60": wav2vec2_large_960h_lv60,
@@ -121,4 +147,6 @@ PRESETS = {
     "hubert-large-ls960-ft": hubert_large_ls960_ft,
     "data2vec-audio-base-960h": data2vec_audio_base_960h,
     "mms-1b": mms_1b,
+    "wavlm-base-plus": wavlm_base_plus,
+    "wavlm-large": wavlm_large,
 }
