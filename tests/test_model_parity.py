@@ -205,7 +205,7 @@ def test_data2vec_audio_logits_match_transformers():
     sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
     sd.pop("data2vec_audio.masked_spec_embed", None)
     params = params_from_flat_dict(sd, cfg)
-    assert len(params["encoder"]["pos_conv_embed"]["layers"]) == 3
+    assert params["encoder"]["pos_conv_embed"]["layers"]["weight"].shape[0] == 3
 
     rng = np.random.default_rng(1)
     audio = rng.normal(size=(1, 1600)).astype(np.float32)

@@ -80,21 +80,28 @@ def pos_conv_stack_forward(
     every layer, reproducing the zero padding the unpadded conv would see.
     """
     pad = cfg.conv_pos_kernel_size // 2
-    for lp in params["layers"]:
-        w = lp["weight"].transpose(2, 1, 0).astype(x.dtype)  # [K, I/G, O]
-        x = jax.lax.conv_general_dilated(
-            x, w, window_strides=(1,), padding=[(pad, pad)],
+
+    def body(h, lp):
+        w = lp["weight"].transpose(2, 1, 0).astype(h.dtype)  # [K, I/G, O]
+        h = jax.lax.conv_general_dilated(
+            h, w, window_strides=(1,), padding=[(pad, pad)],
             dimension_numbers=("NHC", "HIO", "NHC"),
             feature_group_count=cfg.num_conv_pos_embedding_groups,
         )
-        x = x + lp["bias"].astype(x.dtype)
-        mean = jnp.mean(x.astype(jnp.float32), axis=-1, keepdims=True)
-        var = jnp.var(x.astype(jnp.float32), axis=-1, keepdims=True)
-        x = ((x.astype(jnp.float32) - mean)
-             * jax.lax.rsqrt(var + cfg.layer_norm_eps)).astype(x.dtype)
-        x = gelu(x)
+        h = h + lp["bias"].astype(h.dtype)
+        mean = jnp.mean(h.astype(jnp.float32), axis=-1, keepdims=True)
+        var = jnp.var(h.astype(jnp.float32), axis=-1, keepdims=True)
+        h = ((h.astype(jnp.float32) - mean)
+             * jax.lax.rsqrt(var + cfg.layer_norm_eps)).astype(h.dtype)
+        h = gelu(h)
         if frame_mask is not None:
-            x = x * frame_mask[:, :, None].astype(x.dtype)
+            h = h * frame_mask[:, :, None].astype(h.dtype)
+        return h, None
+
+    # layers are STACKED (leading axis L) and iterated with lax.scan, like
+    # the encoder layers — 19 unrolled convs made the HLO (and compiles)
+    # depth-proportional
+    x, _ = jax.lax.scan(body, x, params["layers"])
     return x
 
 

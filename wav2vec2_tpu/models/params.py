@@ -71,16 +71,14 @@ def init_params(
     g = cfg.num_conv_pos_embedding_groups
     if cfg.pos_conv_style == "data2vec":
         kpos = cfg.conv_pos_kernel_size
-        pos_conv = {"layers": [
-            {
-                "weight": (
-                    jax.random.normal(next(k_it), (h, h // g, kpos))
-                    * (1.0 / (h // g * kpos)) ** 0.5
-                ).astype(dtype),
-                "bias": jnp.zeros((h,), dtype),
-            }
-            for _ in range(cfg.num_conv_pos_embeddings)
-        ]}
+        n_l = cfg.num_conv_pos_embeddings
+        pos_conv = {"layers": {
+            "weight": (
+                jax.random.normal(next(k_it), (n_l, h, h // g, kpos))
+                * (1.0 / (h // g * kpos)) ** 0.5
+            ).astype(dtype),
+            "bias": jnp.zeros((n_l, h), dtype),
+        }}
     else:
         kpos = cfg.num_conv_pos_embeddings
         pos_conv = {
@@ -215,7 +213,8 @@ def params_from_flat_dict(
         conv_layers.append(layer)
 
     if has("wav2vec2.encoder.pos_conv_embed.layers.0.conv.weight"):
-        # data2vec-audio: stacked positional convs (no weight norm)
+        # data2vec-audio: stacked positional convs (no weight norm),
+        # leading axis L for the lax.scan in pos_conv_stack_forward
         stack = []
         i = 0
         while has(f"wav2vec2.encoder.pos_conv_embed.layers.{i}.conv.weight"):
@@ -223,7 +222,7 @@ def params_from_flat_dict(
             stack.append({"weight": get(p + ".weight"),
                           "bias": get(p + ".bias")})
             i += 1
-        pos_conv = {"layers": stack}
+        pos_conv = {"layers": jax.tree.map(lambda *xs: np.stack(xs), *stack)}
     else:
         pos_p = "wav2vec2.encoder.pos_conv_embed.conv"
         if has(pos_p + ".weight_v"):
