@@ -449,3 +449,49 @@ def test_normalize_on_device_equivalence(setup):
             assert wx.confidence == pytest.approx(wy.confidence, abs=1e-5)
         n_words += len(x.words)
     assert n_words > 0
+
+
+def test_wavlm_mms_tensor_parallel_sharding(setup):
+    """Regression: TP param specs must replicate the new families' extra
+    attention params (WavLM gru gates, MMS adapters) — the q/k/v-bias
+    branch used to catch gru_rel_pos_* and mis-shard them."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    from wav2vec2_tpu.config import Wav2Vec2ModelConfig
+    from wav2vec2_tpu.models.params import init_params
+    from wav2vec2_tpu.parallel.batching import BatchAligner
+    from wav2vec2_tpu.parallel.mesh import make_mesh, shard_params
+
+    cfg = Wav2Vec2ModelConfig.from_dict(dict(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, conv_dim=[16, 16], conv_kernel=[10, 3],
+        conv_stride=[5, 2], num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4, pad_token_id=0, vocab_size=8,
+        feat_extract_norm="group", conv_bias=False, model_type="wavlm",
+        num_buckets=16, max_bucket_distance=50, adapter_attn_dim=4,
+    ))
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    vocab = {"a": 1, "b": 2, "|": 3, "c": 4}
+    mesh = make_mesh(8, model=2)  # DP×TP
+    sharded_params = shard_params(params, mesh)
+    plain = BatchAligner(cfg, params, vocab, compute_dtype="float32",
+                         use_pallas=False)
+    sharded = BatchAligner(cfg, sharded_params, vocab, compute_dtype="float32",
+                           use_pallas=False, mesh=mesh)
+    rng = np.random.default_rng(5)
+    audios = [rng.normal(size=3000).astype(np.float32) for _ in range(4)]
+    transcripts = ["ab ca", "ba", "ab", "ca ab"]
+    a = plain.align_utterances(audios, transcripts,
+                               audio_multiple=500, token_multiple=16)
+    b = sharded.align_utterances(audios, transcripts,
+                                 audio_multiple=500, token_multiple=16)
+    n = 0
+    for x, y in zip(a, b):
+        assert [w.word for w in x.words] == [w.word for w in y.words]
+        for wx, wy in zip(x.words, y.words):
+            assert (wx.start_ms, wx.end_ms) == (wy.start_ms, wy.end_ms)
+        n += len(x.words)
+    assert n > 0

@@ -48,7 +48,9 @@ def param_shardings(params: dict, mesh: Mesh) -> dict:
     def spec_for(path: tuple, leaf) -> NamedSharding:
         keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
         if "layers" in keys:
-            if "attention" in keys:
+            if {"q_proj", "k_proj", "v_proj", "out_proj"} & set(keys):
+                # only the four projections TP-shard; other attention params
+                # (WavLM gru_rel_pos_*) replicate
                 if "out_proj" in keys:
                     # kernel [L, H, H]: shard input axis; bias replicated
                     pspec = P(None, "model", None) if leaf.ndim == 3 else P()
