@@ -474,3 +474,33 @@ def test_wav_fuzz_no_uncontrolled_errors(tmp_path):
             assert np.all(np.isfinite(x)) or x.dtype == np.float32
         except AlignmentError:
             pass  # controlled rejection
+
+
+def test_textgrid_parser_fuzz(tmp_path):
+    """Garbage TextGrid bytes must parse to empty/partial structures or
+    raise controlled errors, never crash the json-mode case loader."""
+    from wav2vec2_tpu.data.textgrid import parse_textgrid_file
+    from wav2vec2_tpu.errors import AlignmentError
+
+    rng = np.random.default_rng(3)
+    p = tmp_path / "f.TextGrid"
+    good = (tmp_path / "good.TextGrid")
+    words = [WordTiming(word="HI", start_ms=0, end_ms=300, confidence=0.5)]
+    write_textgrid(tmp_path / "good.flac", "HI", words, duration_ms=400)
+    base = good.read_bytes()
+    for i in range(40):
+        if i % 3 == 0:
+            blob = rng.bytes(int(rng.integers(0, 300)))
+        elif i % 3 == 1:
+            blob = base[: int(rng.integers(0, len(base)))]
+        else:
+            b = bytearray(base)
+            for _ in range(6):
+                b[int(rng.integers(0, len(b)))] = int(rng.integers(32, 127))
+            blob = bytes(b)
+        p.write_bytes(blob)
+        try:
+            tg = parse_textgrid_file(p)
+            assert tg is not None
+        except (AlignmentError, ValueError, UnicodeDecodeError):
+            pass

@@ -126,3 +126,32 @@ def test_longform_results_independent_of_chunk_sub_batching(tiny_model):
             # forward log-probs differ at float noise across batch SHAPES
             # (XLA reduction tiling); boundaries must still be exact
             assert wa.confidence == pytest.approx(wb.confidence, abs=1e-6)
+
+
+def test_longform_wavlm_family():
+    """Chunked long-form works with the WavLM attention variant (position
+    bias recomputed per chunk length)."""
+    import jax
+
+    from wav2vec2_tpu.models.params import init_params
+
+    cfg = Wav2Vec2ModelConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, conv_dim=[16, 16], conv_kernel=[10, 3],
+        conv_stride=[5, 2], num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4, pad_token_id=0, vocab_size=8,
+        feat_extract_norm="group", conv_bias=False,
+        attention_style="wavlm", num_buckets=16, max_bucket_distance=50,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    vocab = {"a": 1, "b": 2, "|": 3}
+    rng = np.random.default_rng(2)
+    audio = rng.normal(size=32_000).astype(np.float32)
+    transcript = "ab ba ab"
+    out = align_longform(audio, transcript, params, cfg, vocab,
+                         chunk_sec=1.0, overlap_sec=0.25, sample_rate=16000)
+    assert [w.word for w in out.words] == transcript.split()
+    last = -1
+    for w in out.words:
+        assert w.start_ms >= last
+        last = w.start_ms
