@@ -50,6 +50,10 @@ def __getattr__(name):
         from .align.longform import align_longform
 
         return align_longform
+    if name == "OnlineAligner":
+        from .align.online import OnlineAligner
+
+        return OnlineAligner
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 __all__ = [
@@ -60,6 +64,7 @@ __all__ = [
     "AlignmentStageTimings",
     "BatchAligner",
     "ForcedAligner",
+    "OnlineAligner",
     "align_longform",
     "ForcedAlignerBuilder",
     "ForwardOutput",

@@ -1,0 +1,287 @@
+"""Online (incremental) forced alignment for live audio feeds.
+
+Beyond-reference capability (the reference is strictly offline,
+runtime.rs:76): feed audio in arbitrary-size pieces as it arrives and
+receive words as they become FINAL — the live-captioning / karaoke /
+teleprompter use case where the script is known.
+
+Design (reuses the long-form machinery, longform.py):
+- audio accumulates into fixed-size overlapping encoder windows
+  (`chunk_sec` + `overlap_sec`), so the acoustic model compiles ONE shape;
+  each window's log-probs are adopted up to the depth-crossover with the
+  next window (the same deepest-context stitching rule as offline
+  long-form);
+- adopted frames extend an incremental banded Viterbi on the host
+  (append-only: prev score row + backpointer rows; the offline kernel's
+  lower reachability band is a pruning optimization the growing-T case
+  drops — backtraced paths are identical, tested vs the numpy oracle);
+- after each window, the full provisional path is grouped with the
+  standard pipeline (expansion policies, selector, confidence) and words
+  that ended more than `finalize_margin_sec` before the adopted frontier
+  are emitted as final; `flush()` processes the tail and emits the rest.
+
+Finalized words never change once emitted. They match the offline
+`align_longform` result up to chunking differences (expansion absorbs at
+most 16 frames per boundary, so a margin of ≥ ~1 s makes agreement exact
+in practice; tests assert boundary agreement within one frame).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from ..config import AlignerHyperParams, Wav2Vec2ModelConfig
+from ..types import AlignmentOutput, WordTiming
+from .grouping import frame_evidence_from_log_probs, group_into_words
+from .tokenization import build_token_sequence_case_aware
+
+_NEG = np.float32(-np.inf)
+
+
+class IncrementalViterbi:
+    """Append-only CTC Viterbi: one score row + per-frame backpointers.
+
+    Transition rules, tie-breaking (stay > s-1 > s-2 on strict
+    improvement), and the final-state rule replicate the offline oracle
+    (ops/viterbi_ref.viterbi_numpy) — verified path-identical in tests.
+    """
+
+    def __init__(self, tokens: np.ndarray):
+        self.tokens = np.asarray(tokens, np.int64)
+        s = len(self.tokens)
+        self.s_len = s
+        self.prev = np.full(s, _NEG, np.float32)
+        self.bp: list[np.ndarray] = []
+        self.t = 0
+        # skip transition allowed only when tokens differ two apart
+        self._can_skip = np.zeros(s, bool)
+        if s > 2:
+            self._can_skip[2:] = self.tokens[2:] != self.tokens[:-2]
+
+    def append(self, lp_row: np.ndarray) -> None:
+        emis = lp_row[self.tokens].astype(np.float32)
+        if self.t == 0:
+            self.prev[0] = emis[0]
+            if self.s_len > 1:
+                self.prev[1] = emis[1]
+            self.bp.append(np.zeros(self.s_len, np.int8))
+        else:
+            stay = self.prev
+            from1 = np.full(self.s_len, _NEG, np.float32)
+            from1[1:] = self.prev[:-1]
+            from2 = np.full(self.s_len, _NEG, np.float32)
+            from2[2:] = np.where(self._can_skip[2:], self.prev[:-2], _NEG)
+            cand = np.stack([stay, from1, from2])
+            step = np.argmax(cand, axis=0).astype(np.int8)  # first max wins
+            best = cand[step, np.arange(self.s_len)]
+            self.bp.append(step)
+            self.prev = np.where(np.isneginf(best), _NEG, best + emis)
+        self.t += 1
+
+    def backtrace(self) -> np.ndarray:
+        """Provisional best path [t] of states ending at the best of the
+        two final states (blank vs last char; strict > favors the last
+        state, viterbi.rs:90-93)."""
+        if self.t == 0:
+            return np.zeros(0, np.int64)
+        s = self.s_len
+        state = s - 1
+        if s >= 2 and self.prev[s - 2] > self.prev[s - 1]:
+            state = s - 2
+        if np.isneginf(self.prev[state]):
+            # not enough frames yet to cover the tokens: fall back to the
+            # best reachable state so provisional grouping still works
+            state = int(np.argmax(self.prev))
+        path = np.empty(self.t, np.int64)
+        for t in range(self.t - 1, -1, -1):
+            path[t] = state
+            state -= int(self.bp[t][state])
+        return path
+
+
+class OnlineAligner:
+    """Incremental alignment session for ONE utterance/stream."""
+
+    def __init__(
+        self,
+        model_cfg: Wav2Vec2ModelConfig,
+        params: dict,
+        vocab: dict[str, int],
+        transcript: str,
+        chunk_sec: float = 5.0,
+        overlap_sec: float = 1.0,
+        finalize_margin_sec: float = 2.0,
+        sample_rate: int = 16000,
+        compute_dtype: str = "float32",
+        normalize: str = "window",
+        hp: AlignerHyperParams | None = None,
+    ):
+        """normalize: "window" (default — per-window zero-mean/unit-var,
+        the only option for live input where global stats are unknown) or
+        "none" (caller pre-normalized; gives exact agreement with the
+        offline path on the same frames)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..models.ctc_model import (
+            _freeze_cfg,
+            log_softmax_logits,
+            wav2vec2_forward,
+        )
+
+        self.cfg = _freeze_cfg(model_cfg)
+        self.hp = hp or AlignerHyperParams()
+        self.blank_id = model_cfg.pad_token_id
+        self.word_sep_id = vocab.get("|", 0)
+        self.stride = 1
+        for st in model_cfg.conv_stride:
+            self.stride *= st
+        self.stride_ms = model_cfg.frame_stride_ms(sample_rate)
+        self.seq = build_token_sequence_case_aware(
+            transcript, vocab, self.blank_id, self.word_sep_id
+        )
+        self.dp = IncrementalViterbi(np.asarray(self.seq.tokens))
+
+        self.chunk = (int(chunk_sec * sample_rate) // self.stride) * self.stride
+        ov = (int(overlap_sec * sample_rate) // self.stride) * self.stride
+        assert 0 < ov < self.chunk, "need 0 < overlap < chunk"
+        self.hop = self.chunk - ov
+        self.margin_frames = int(finalize_margin_sec * 1000 / self.stride_ms)
+
+        dtype = jnp.float32 if compute_dtype == "float32" else jnp.bfloat16
+        cfg = self.cfg
+
+        @functools.partial(jax.jit)
+        def _fwd(p, audio, n):
+            logits = wav2vec2_forward(
+                p, audio, cfg, audio_lens=n, compute_dtype=dtype
+            )
+            return log_softmax_logits(logits)
+
+        self._fwd = _fwd
+        self._params = params
+        self._jnp = jnp
+
+        self._normalize = normalize
+        self._buf = np.zeros(0, np.float32)
+        self._next_start = 0       # sample index of the next window
+        self._pending: tuple[np.ndarray, int] | None = None  # (lp, f0)
+        self._rows: list[np.ndarray] = []   # adopted [V] log-prob rows
+        self._emitted: list[WordTiming] = []
+        self._closed = False
+
+    # -- internals --------------------------------------------------------
+
+    def _window_logprobs(self, start: int, true_len: int) -> np.ndarray:
+        """Run the fixed-shape forward on window [start, start+chunk);
+        true_len ≤ chunk masks the tail (flush's last window)."""
+        audio = np.zeros(self.chunk, np.float32)
+        avail = self._buf[start : start + true_len]
+        audio[: len(avail)] = avail
+        if self._normalize == "window" and len(avail):
+            # per-stream normalization is global in the offline path;
+            # online normalizes per window (live input has no global stats)
+            mean = float(avail.mean())
+            std = max(float(avail.std()), 1e-7)
+            audio = (audio - mean) / std
+            audio[len(avail):] = 0.0
+        lp = self._fwd(
+            self._params, audio[None, :],
+            self._jnp.asarray([len(avail)], self._jnp.int32),
+        )
+        t_true = self.cfg.conv_output_length(len(avail))
+        return np.asarray(lp[0, :t_true], np.float32)
+
+    def _adopt(self, upto_f: int) -> None:
+        """Append pending-window rows for global frames [len(rows), upto_f)
+        to the DP."""
+        if self._pending is None:
+            return
+        lp, f0 = self._pending
+        start = len(self._rows)
+        for g in range(start, upto_f):
+            local = g - f0
+            if 0 <= local < lp.shape[0]:
+                row = lp[local]
+                self._rows.append(row)
+                self.dp.append(row)
+
+    def _crossover(self, f0_a: int, n_a: int, f0_b: int) -> int:
+        """First global frame the NEXT window owns (deeper context) — the
+        incremental form of stitch_log_probs' depth rule."""
+        for g in range(f0_b, f0_a + n_a):
+            depth_a = min(g - f0_a, n_a - 1 - (g - f0_a))
+            depth_b = g - f0_b
+            if depth_b > depth_a:
+                return g
+        return f0_a + n_a
+
+    def _finalize(self, cut_frame: int) -> list[WordTiming]:
+        t = self.dp.t
+        if t == 0 or not self.seq.normalized_words:
+            return []
+        path = self.dp.backtrace()
+        lp_all = np.stack(self._rows)
+        ev = frame_evidence_from_log_probs(
+            lp_all, self.seq.tokens, path, self.blank_id
+        )
+        words = group_into_words(
+            path, self.seq.tokens, self.seq.chars, self.seq.normalized_words,
+            ev, self.blank_id, self.word_sep_id, self.stride_ms, self.hp,
+        )
+        cut_ms = cut_frame * self.stride_ms
+        out = []
+        k = len(self._emitted)
+        for w in words[k:]:
+            if w.end_ms >= cut_ms:
+                break
+            out.append(w)
+        self._emitted.extend(out)
+        return out
+
+    # -- public API -------------------------------------------------------
+
+    def _ingest_window(self, start: int, true_len: int) -> None:
+        lp = self._window_logprobs(start, true_len)
+        f0 = start // self.stride
+        if self._pending is not None:
+            lp_a, f0_a = self._pending
+            self._adopt(self._crossover(f0_a, lp_a.shape[0], f0))
+        self._pending = (lp, f0)
+
+    def push(self, samples: np.ndarray) -> list[WordTiming]:
+        """Feed more audio; returns newly FINALIZED words (possibly [])."""
+        assert not self._closed, "push after flush"
+        self._buf = np.concatenate([self._buf, np.asarray(samples, np.float32)])
+        progressed = False
+        while len(self._buf) >= self._next_start + self.chunk:
+            self._ingest_window(self._next_start, self.chunk)
+            self._next_start += self.hop
+            progressed = True
+        if not progressed:
+            return []
+        # the pending window's left half (deepest context) is stable
+        lp, f0 = self._pending
+        self._adopt(f0 + lp.shape[0] // 2)
+        return self._finalize(len(self._rows) - self.margin_frames)
+
+    def flush(self) -> AlignmentOutput:
+        """End of stream: process the tail, emit everything, and return the
+        COMPLETE alignment (all words, including those already emitted)."""
+        assert not self._closed, "double flush"
+        self._closed = True
+        n_total = len(self._buf)
+        while len(self._buf) >= self._next_start + self.chunk:
+            self._ingest_window(self._next_start, self.chunk)
+            self._next_start += self.hop
+        tail = n_total - self._next_start
+        if tail > 0 or self._pending is None:
+            if tail > 0:
+                self._ingest_window(self._next_start, tail)
+        if self._pending is not None:
+            lp, f0 = self._pending
+            self._adopt(f0 + lp.shape[0])
+        self._finalize(len(self._rows) + 1)
+        return AlignmentOutput(words=list(self._emitted))
