@@ -199,3 +199,53 @@ def test_cli_skips_too_short_audio_cases(model_dir, tmp_path, capsys):
     assert rc == 0
     report = json.loads(out.read_text())
     assert [s["id"] for s in report["sentences"]] == ["1-2-0000"]
+
+
+def test_compare_textgrids_cli_paths(tmp_path, capsys):
+    """compare_textgrids run(): pair discovery, threshold pass/fail,
+    no-pairs and strict exit codes (the reference comparator's CI exit-code
+    contract, compare_textgrids.py:37-38)."""
+    from wav2vec2_tpu.cli.compare_textgrids import (
+        EXIT_ABS_THRESHOLD,
+        EXIT_NO_PAIRS,
+        EXIT_SUCCESS,
+        run,
+    )
+    from wav2vec2_tpu.data.textgrid import write_textgrid
+    from wav2vec2_tpu.types import WordTiming
+
+    assert run([str(tmp_path / "missing")]) == EXIT_NO_PAIRS
+    assert run([str(tmp_path)]) == EXIT_NO_PAIRS  # dir, no pairs
+
+    base_words = [WordTiming(word="HI", start_ms=100, end_ms=400, confidence=0.9),
+                  WordTiming(word="YOU", start_ms=500, end_ms=900, confidence=0.8)]
+    write_textgrid(tmp_path / "u1.flac", "HI YOU", base_words, 1000)
+    write_textgrid(tmp_path / "u1.flac", "HI YOU", base_words, 1000,
+                   suffix="_x")
+    assert run([str(tmp_path), "--suffix", "_x",
+                "--enforce-thresholds"]) == EXIT_SUCCESS
+    out = json.loads(capsys.readouterr().out)
+    assert out["median_start_diff_ms"] == 0.0 and out["pairs_compared"] == 1
+
+    # shifted boundaries beyond 5 ms → threshold failure
+    shifted = [WordTiming(word="HI", start_ms=120, end_ms=420, confidence=0.9),
+               WordTiming(word="YOU", start_ms=520, end_ms=920, confidence=0.8)]
+    write_textgrid(tmp_path / "u1.flac", "HI YOU", shifted, 1000, suffix="_y")
+    assert run([str(tmp_path), "--suffix", "_y",
+                "--enforce-thresholds"]) == EXIT_ABS_THRESHOLD
+    capsys.readouterr()
+
+
+def test_all_presets_build_and_run_forward():
+    """Every preset constructs and its tiny-audio forward has the right
+    output vocab (guards preset geometry for all five families)."""
+    import jax
+    import numpy as np
+
+    from wav2vec2_tpu.models.presets import PRESETS
+
+    for name, fn in PRESETS.items():
+        cfg = fn(vocab_size=12)
+        assert cfg.vocab_size == 12, name
+        assert cfg.frame_stride_ms(16000) == pytest.approx(20.0), name
+        assert cfg.conv_output_length(16000) > 0, name
