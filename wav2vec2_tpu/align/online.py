@@ -251,6 +251,16 @@ class OnlineAligner:
             self._adopt(self._crossover(f0_a, lp_a.shape[0], f0))
         self._pending = (lp, f0)
 
+    def warmup(self) -> None:
+        """Compile the window forward before the stream starts, so the
+        first real push never pays the XLA compile inside its latency
+        (serving cold-start discipline; combine with the persistent
+        compile cache for cross-process reuse). Does not consume audio."""
+        saved = self._buf
+        self._buf = np.zeros(self.chunk, np.float32)
+        self._window_logprobs(0, self.chunk)
+        self._buf = saved
+
     def push(self, samples: np.ndarray) -> list[WordTiming]:
         """Feed more audio; returns newly FINALIZED words (possibly [])."""
         assert not self._closed, "push after flush"
