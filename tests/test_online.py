@@ -139,3 +139,18 @@ def test_online_tiny_tail_and_empty_transcript(tiny_model):
                             chunk_sec=1.0, overlap_sec=0.25)
     online2.push(rng.normal(size=20000).astype(np.float32))
     assert online2.flush().words == []
+
+
+def test_online_flush_min_frames_guard(tiny_model):
+    """flush() raises InvalidInputError when the transcript cannot fit the
+    streamed audio (offline min-frames guard parity, runtime.rs:116-121)."""
+    from wav2vec2_tpu.align.online import OnlineAligner
+    from wav2vec2_tpu.errors import InvalidInputError
+
+    cfg, params, vocab = tiny_model
+    long_transcript = " ".join(["ab ba"] * 40)
+    online = OnlineAligner(cfg, params, vocab, long_transcript,
+                           chunk_sec=1.0, overlap_sec=0.25)
+    online.push(np.zeros(2000, np.float32))
+    with pytest.raises(InvalidInputError, match="too short"):
+        online.flush()

@@ -293,5 +293,16 @@ class OnlineAligner:
         if self._pending is not None:
             lp, f0 = self._pending
             self._adopt(f0 + lp.shape[0])
+        if self.seq.normalized_words:
+            min_frames = -(-len(self.seq.tokens) // 2)
+            if len(self._rows) < min_frames:
+                from ..errors import InvalidInputError
+
+                # same contract as the offline min-frames guard
+                # (runtime.rs:116-121): the transcript cannot fit the audio
+                raise InvalidInputError(
+                    f"audio too short for transcript: {len(self._rows)} "
+                    f"frames < {min_frames} required"
+                )
         self._finalize(len(self._rows) + 1)
         return AlignmentOutput(words=list(self._emitted))
