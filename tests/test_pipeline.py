@@ -262,3 +262,25 @@ def test_custom_sequence_aligner_injection(model_dir):
     out = aligner.align(AlignmentInput(16000, np.ones(100, np.float32), "a"))
     assert calls == ["align"]
     assert [w.word for w in out.words] == ["a"]
+
+
+def test_memory_tracker_per_os_readers(monkeypatch):
+    """Per-OS RSS reader selection (memory_tracker.rs:170-249 parity) and
+    graceful zero-return on foreign platforms."""
+    import sys
+
+    from wav2vec2_tpu.pipeline import memory_tracker as mt
+
+    assert mt._read_rss_linux() > 0  # this CI runs on Linux
+    # the foreign readers fail their platform imports/dlopen and return 0
+    assert mt._read_rss_windows() == 0
+    assert mt._read_rss_macos() == 0
+
+    monkeypatch.setattr(sys, "platform", "win32")
+    assert mt._pick_rss_reader() is mt._read_rss_windows
+    monkeypatch.setattr(sys, "platform", "darwin")
+    assert mt._pick_rss_reader() is mt._read_rss_macos
+    monkeypatch.setattr(sys, "platform", "linux")
+    assert mt._pick_rss_reader() is mt._read_rss_linux
+    monkeypatch.setattr(sys, "platform", "sunos5")
+    assert mt._pick_rss_reader()() == 0
