@@ -107,3 +107,43 @@ def test_int8_forward_close_and_boundaries_agree():
         for wb, wq in zip(ob.words, oq.words):
             assert abs(wb.start_ms - wq.start_ms) <= stride
             assert abs(wb.end_ms - wq.end_ms) <= stride
+
+
+def test_bf16_weight_storage_bit_identical(setup_aligners=None):
+    """bf16 weight STORAGE under bf16 compute must be bit-identical to f32
+    storage (every consumption site casts to the compute dtype anyway)."""
+    import jax
+
+    from wav2vec2_tpu.config import Wav2Vec2ModelConfig
+    from wav2vec2_tpu.models.ctc_model import _freeze_cfg, wav2vec2_forward
+    from wav2vec2_tpu.models.params import init_params
+    from wav2vec2_tpu.models.quantize import cast_compute_weights_bf16
+    import jax.numpy as jnp
+
+    # cover the feature-richest variant: wavlm attention + adapters
+    cfg = _freeze_cfg(Wav2Vec2ModelConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, conv_dim=[16, 16], conv_kernel=[10, 3],
+        conv_stride=[5, 2], num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4, pad_token_id=0, vocab_size=8,
+        feat_extract_norm="group", conv_bias=False,
+        attention_style="wavlm", num_buckets=16, max_bucket_distance=50,
+        adapter_attn_dim=4,
+    ))
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    cast = cast_compute_weights_bf16(params)
+    # norms / f32-consumed leaves untouched
+    assert cast["encoder"]["layer_norm"]["weight"].dtype == jnp.float32
+    assert cast["encoder"]["rel_attn_embed"].dtype == jnp.float32
+    assert cast["encoder"]["layers"]["attention"]["gru_rel_pos_const"].dtype == jnp.float32
+    assert cast["encoder"]["layers"]["attention"]["q_proj"]["kernel"].dtype == jnp.bfloat16
+    assert cast["lm_head"]["kernel"].dtype == jnp.bfloat16
+
+    rng = np.random.default_rng(0)
+    audio = rng.normal(size=(2, 4000)).astype(np.float32)
+    lens = jnp.asarray([4000, 3200], jnp.int32)
+    a = wav2vec2_forward(params, jnp.asarray(audio), cfg, audio_lens=lens,
+                         compute_dtype=jnp.bfloat16)
+    b = wav2vec2_forward(cast, jnp.asarray(audio), cfg, audio_lens=lens,
+                         compute_dtype=jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -112,3 +112,31 @@ def linear_maybe_quantized(x: jnp.ndarray, p: dict) -> jnp.ndarray:
     from .layers import linear
 
     return linear(x, p["kernel"], p.get("bias"))
+
+
+def cast_compute_weights_bf16(params: dict):
+    """Store compute weights (matmul kernels/biases, conv weights) in bf16.
+
+    Under bf16 compute every consumption site casts weights with
+    `astype(x.dtype)` anyway (layers.linear, feature_conv1d,
+    pos_conv_forward, the data2vec stack), so bf16 STORAGE is bit-identical
+    to f32 storage — while halving weight HBM (4 GB → 2 GB for mms-1b) and
+    checkpoint→device transfer. Normalization parameters and the WavLM
+    f32-consumed leaves (rel_attn_embed, gru_rel_pos_const) stay f32 per
+    the "f32 norms" policy. Only valid with compute_dtype bfloat16
+    (exactness is asserted in tests/test_quantize.py)."""
+    import jax
+
+    KEEP_F32_KEYS = {"layer_norm", "final_layer_norm", "norm",
+                     "rel_attn_embed", "gru_rel_pos_const",
+                     "scale"}  # int8 dequant scales stay f32
+
+    def cast(path, leaf):
+        keys = {getattr(p, "key", None) for p in path}
+        if keys & KEEP_F32_KEYS:
+            return leaf
+        if hasattr(leaf, "dtype") and leaf.dtype == jnp.float32:
+            return leaf.astype(jnp.bfloat16)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(cast, params)

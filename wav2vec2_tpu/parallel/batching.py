@@ -198,6 +198,14 @@ class BatchAligner:
             from ..models.quantize import quantize_encoder_int8
 
             params = quantize_encoder_int8(params)
+        if compute_dtype == "bfloat16" and mesh is None:
+            # bf16 weight STORAGE is bit-identical under bf16 compute (every
+            # consumption site casts to x.dtype) and halves weight HBM +
+            # upload — 4 GB → 2 GB for mms-1b serving. Skipped with a mesh:
+            # pre-sharded caller params keep their placement/dtype.
+            from ..models.quantize import cast_compute_weights_bf16
+
+            params = cast_compute_weights_bf16(params)
         self.params = params
         self.vocab = vocab
         self.blank_id = model_cfg.pad_token_id
