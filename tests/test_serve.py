@@ -4,6 +4,7 @@ error isolation, stats."""
 import base64
 import json
 import threading
+import urllib.error
 import urllib.request
 from wav2vec2_tpu.serve import AlignHTTPServer
 
@@ -218,3 +219,33 @@ def test_align_subtitle_format(server):
     code, out = _post(url, {"audio": audio, "sample_rate_hz": 16000,
                             "transcript": "THE CAT", "format": "nope"})
     assert code == 400 and "unknown format" in out["error"]
+
+
+def test_unknown_paths_and_backend_failure(server, monkeypatch):
+    url, service = server
+    # 404s
+    req = urllib.request.Request(url + "/nope", method="GET")
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        assert False
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+    code, out = _post(url + "", {"audio": [0.0]}, timeout=30)
+    assert code in (200, 400, 404)  # /align exists; POST elsewhere:
+    req = urllib.request.Request(url + "/elsewhere", data=b"{}",
+                                 method="POST")
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        assert False
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+
+    # non-Alignment backend failure → 500, batch fails
+    def boom(*a, **k):
+        raise RuntimeError("backend exploded")
+
+    monkeypatch.setattr(service.aligner, "align_utterances", boom)
+    rng = np.random.default_rng(9)
+    code, out = _post(url, {"audio": rng.normal(size=2000).astype(
+        np.float32).tolist(), "sample_rate_hz": 16000, "transcript": "THE"})
+    assert code == 500 and "RuntimeError" in out["error"]

@@ -76,7 +76,20 @@ def _executable_lines(path: Path) -> set[int]:
     return lines
 
 
-def _report(json_out: str | None, min_pct: float) -> int:
+def _fold_ranges(lines: list[int]) -> str:
+    """[3,4,5,9] → '3-5,9'."""
+    out, i = [], 0
+    while i < len(lines):
+        j = i
+        while j + 1 < len(lines) and lines[j + 1] == lines[j] + 1:
+            j += 1
+        out.append(str(lines[i]) if i == j else f"{lines[i]}-{lines[j]}")
+        i = j + 1
+    return ",".join(out)
+
+
+def _report(json_out: str | None, min_pct: float,
+            show_missing: str | None) -> int:
     rows = []
     tot_hit = tot_exec = 0
     for path in sorted(PKG.rglob("*.py")):
@@ -84,9 +97,14 @@ def _report(json_out: str | None, min_pct: float) -> int:
         if not ex:
             continue
         hit = _hits.get(str(path), set()) & ex
-        rows.append((str(path.relative_to(REPO)), len(hit), len(ex)))
+        rel = str(path.relative_to(REPO))
+        rows.append((rel, len(hit), len(ex)))
         tot_hit += len(hit)
         tot_exec += len(ex)
+        if show_missing and show_missing in rel:
+            missing = sorted(ex - hit)
+            print(f"missing in {rel}: {_fold_ranges(missing)}",
+                  file=sys.stderr)
     rows.sort(key=lambda r: r[1] / r[2])
     print(f"\n{'file':57s} {'cov':>6s}  lines", file=sys.stderr)
     for name, h, e in rows:
@@ -107,6 +125,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", default=None)
     ap.add_argument("--min-pct", type=float, default=0.0)
+    ap.add_argument("--show-missing", default=None, metavar="SUBSTR",
+                    help="print uncovered line ranges for files whose path "
+                         "contains SUBSTR")
     ap.add_argument("cmd", nargs=argparse.REMAINDER,
                     help="-- -m module args... | -- script.py args...")
     args = ap.parse_args()
@@ -130,7 +151,7 @@ def main() -> int:
     finally:
         sys.monitoring.set_events(TOOL, 0)
         sys.monitoring.free_tool_id(TOOL)
-    rep = _report(args.json, args.min_pct)
+    rep = _report(args.json, args.min_pct, args.show_missing)
     return code or rep
 
 
