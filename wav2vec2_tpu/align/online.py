@@ -20,10 +20,11 @@ Design (reuses the long-form machinery, longform.py):
   that ended more than `finalize_margin_sec` before the adopted frontier
   are emitted as final; `flush()` processes the tail and emits the rest.
 
-Finalized words never change once emitted. They match the offline
-`align_longform` result up to chunking differences (expansion absorbs at
-most 16 frames per boundary, so a margin of ≥ ~1 s makes agreement exact
-in practice; tests assert boundary agreement within one frame).
+Finalized words never change once emitted, and results are independent of
+how the audio is sliced into push() calls (tested). Scope: live feeds up
+to tens of minutes — backpointer memory grows O(T·S) on the host
+(~1 byte/cell); hour-scale OFFLINE audio should use align_longform, whose
+kernel streams backpointers through HBM.
 """
 
 from __future__ import annotations
@@ -148,6 +149,13 @@ class OnlineAligner:
         ov = (int(overlap_sec * sample_rate) // self.stride) * self.stride
         assert 0 < ov < self.chunk, "need 0 < overlap < chunk"
         self.hop = self.chunk - ov
+        # consecutive windows must overlap in FRAMES too: the conv stack's
+        # receptive field eats ~(chunk/stride - conv_output_length(chunk))
+        # frames off each window, so a too-small overlap would leave a gap
+        # of frames no window produces (and silently desync the DP)
+        assert self.hop // self.stride < model_cfg.conv_output_length(self.chunk), (
+            "overlap_sec too small for the model's receptive field"
+        )
         self.margin_frames = int(finalize_margin_sec * 1000 / self.stride_ms)
 
         dtype = jnp.float32 if compute_dtype == "float32" else jnp.bfloat16
@@ -203,7 +211,8 @@ class OnlineAligner:
         start = len(self._rows)
         for g in range(start, upto_f):
             local = g - f0
-            if 0 <= local < lp.shape[0]:
+            assert local >= 0, "frame gap between windows (overlap too small)"
+            if local < lp.shape[0]:
                 row = lp[local]
                 self._rows.append(row)
                 self.dp.append(row)
