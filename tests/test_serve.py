@@ -249,3 +249,73 @@ def test_unknown_paths_and_backend_failure(server, monkeypatch):
     code, out = _post(url, {"audio": rng.normal(size=2000).astype(
         np.float32).tolist(), "sample_rate_hz": 16000, "transcript": "THE"})
     assert code == 500 and "RuntimeError" in out["error"]
+
+
+@pytest.fixture(scope="module")
+def stream_server(model_dir):
+    from wav2vec2_tpu.serve import StreamRegistry, make_handler
+
+    service, device = build_service_from_model_dir(
+        model_dir, compute_dtype="float32", window_ms=30.0, max_batch=4
+    )
+    streams = StreamRegistry(service.aligner, "float32", max_streams=2)
+    httpd = AlignHTTPServer(
+        ("127.0.0.1", 0), make_handler(service, device, streams)
+    )
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_port}"
+    httpd.shutdown()
+    service.close()
+
+
+def _req(url, path, method="POST", payload=None, timeout=120):
+    data = json.dumps(payload).encode() if payload is not None else None
+    req = urllib.request.Request(url + path, data=data, method=method,
+                                 headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_stream_session_lifecycle(stream_server):
+    url = stream_server
+    rng = np.random.default_rng(4)
+
+    code, out = _req(url, "/stream", payload={
+        "transcript": "THE CAT", "chunk_sec": 0.5, "overlap_sec": 0.1,
+        "finalize_margin_sec": 0.2})
+    assert code == 200
+    sid = out["stream_id"]
+
+    total_new = 0
+    for _ in range(4):
+        audio = rng.normal(size=4000).astype(np.float32).tolist()
+        code, out = _req(url, f"/stream/{sid}", payload={"audio": audio})
+        assert code == 200
+        total_new += len(out["words"])
+    code, out = _req(url, f"/stream/{sid}/flush")
+    assert code == 200
+    assert [w["word"] for w in out["words"]] == ["THE", "CAT"]
+    assert total_new <= len(out["words"])
+
+    # flushed session is gone
+    code, out = _req(url, f"/stream/{sid}", payload={"audio": [0.0] * 100})
+    assert code == 404
+
+    # abort path + max-streams cap
+    sids = []
+    for _ in range(2):
+        code, out = _req(url, "/stream", payload={"transcript": "THE"})
+        assert code == 200
+        sids.append(out["stream_id"])
+    code, out = _req(url, "/stream", payload={"transcript": "THE"})
+    assert code == 400 and "too many live streams" in out["error"]
+    code, out = _req(url, f"/stream/{sids[0]}", method="DELETE")
+    assert code == 200
+    code, out = _req(url, f"/stream/{sids[1]}", method="DELETE")
+    assert code == 200
+    code, out = _req(url, "/stream/nope/flush")
+    assert code == 404

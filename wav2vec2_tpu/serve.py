@@ -25,6 +25,13 @@ Design:
     GET  /healthz  → {"status":"ok","device":...}
     GET  /stats    → counters (requests, errors, audio seconds, realtime
                      factor since start, batch-size histogram)
+    POST /stream   {"transcript": "...", "chunk_sec"?, "overlap_sec"?,
+                    "finalize_margin_sec"?} → {"stream_id": ...}
+    POST /stream/ID        {"audio": ...} → {"words": [finalized...]}
+    POST /stream/ID/flush  → {"words": [complete alignment]} (ends session)
+    DELETE /stream/ID      → abort
+                   (live OnlineAligner sessions — words stream back as the
+                    audio arrives; see align/online.py)
 
 Run:  python -m wav2vec2_tpu.serve --model-dir M [--port 8000]
       [--window-ms 25] [--max-batch 64] [--compute-dtype bfloat16]
@@ -191,6 +198,67 @@ def _word_to_json(w) -> dict:
     }
 
 
+class StreamRegistry:
+    """Live OnlineAligner sessions behind the HTTP daemon.
+
+    One lock serializes all stream operations: stream forwards are
+    single-window jit calls that interleave with the batch worker's
+    dispatches (JAX serializes device execution; the lock keeps session
+    state consistent and bounds concurrent host work)."""
+
+    def __init__(self, aligner, compute_dtype: str, max_streams: int = 32):
+        self._aligner = aligner
+        self._compute_dtype = compute_dtype
+        self._max = max_streams
+        self._lock = threading.Lock()
+        self._sessions: dict[str, object] = {}
+
+    def start(self, transcript: str, chunk_sec: float = 5.0,
+              overlap_sec: float = 1.0,
+              finalize_margin_sec: float = 2.0) -> str:
+        import uuid
+
+        from .align.online import OnlineAligner
+
+        with self._lock:
+            if len(self._sessions) >= self._max:
+                raise InvalidInputError(
+                    f"too many live streams (max {self._max}); flush or "
+                    f"delete one first"
+                )
+            sid = uuid.uuid4().hex[:16]
+            self._sessions[sid] = OnlineAligner(
+                self._aligner.cfg, self._aligner.params, self._aligner.vocab,
+                transcript, chunk_sec=chunk_sec, overlap_sec=overlap_sec,
+                finalize_margin_sec=finalize_margin_sec,
+                compute_dtype=self._compute_dtype,
+            )
+            return sid
+
+    def _get(self, sid: str):
+        sess = self._sessions.get(sid)
+        if sess is None:
+            raise KeyError(sid)
+        return sess
+
+    def push(self, sid: str, audio: np.ndarray) -> list:
+        with self._lock:
+            return self._get(sid).push(audio)
+
+    def flush(self, sid: str):
+        with self._lock:
+            sess = self._get(sid)
+            try:
+                return sess.flush()
+            finally:
+                del self._sessions[sid]
+
+    def delete(self, sid: str) -> None:
+        with self._lock:
+            self._get(sid)
+            del self._sessions[sid]
+
+
 class AlignHTTPServer(ThreadingHTTPServer):
     """ThreadingHTTPServer with a production accept backlog.
 
@@ -204,7 +272,8 @@ class AlignHTTPServer(ThreadingHTTPServer):
     request_queue_size = 128
 
 
-def make_handler(service: AlignmentService, device_label: str):
+def make_handler(service: AlignmentService, device_label: str,
+                 streams: StreamRegistry | None = None):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
@@ -227,7 +296,57 @@ def make_handler(service: AlignmentService, device_label: str):
             else:
                 self._reply(404, {"error": "not found"})
 
+        def _read_payload(self):
+            length = int(self.headers.get("Content-Length", 0))
+            return json.loads(self.rfile.read(length)) if length else {}
+
+        def _handle_stream(self):
+            """POST /stream (start) | /stream/<id> (push) |
+            /stream/<id>/flush; DELETE /stream/<id> (abort)."""
+            parts = self.path.strip("/").split("/")
+            try:
+                if self.command == "DELETE" and len(parts) == 2:
+                    streams.delete(parts[1])
+                    self._reply(200, {"deleted": parts[1]})
+                elif self.command == "POST" and len(parts) == 1:
+                    payload = self._read_payload()
+                    sid = streams.start(
+                        str(payload.get("transcript", "")),
+                        chunk_sec=float(payload.get("chunk_sec", 5.0)),
+                        overlap_sec=float(payload.get("overlap_sec", 1.0)),
+                        finalize_margin_sec=float(
+                            payload.get("finalize_margin_sec", 2.0)),
+                    )
+                    self._reply(200, {"stream_id": sid})
+                elif self.command == "POST" and len(parts) == 2:
+                    audio = _decode_audio(self._read_payload())
+                    words = streams.push(parts[1], audio)
+                    self._reply(200, {"words": [_word_to_json(w) for w in words]})
+                elif (self.command == "POST" and len(parts) == 3
+                      and parts[2] == "flush"):
+                    out = streams.flush(parts[1])
+                    self._reply(200, {"words": [_word_to_json(w) for w in out.words]})
+                else:
+                    self._reply(404, {"error": "not found"})
+            except KeyError as e:
+                self._reply(404, {"error": f"unknown stream {e}"})
+            except (InvalidInputError, ValueError, AssertionError) as e:
+                self._reply(400, {"error": str(e)})
+            except Exception as e:
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def do_DELETE(self):
+            if streams is not None and self.path.startswith("/stream/"):
+                self._handle_stream()
+            else:
+                self._reply(404, {"error": "not found"})
+
         def do_POST(self):
+            if streams is not None and (
+                self.path == "/stream" or self.path.startswith("/stream/")
+            ):
+                self._handle_stream()
+                return
             if self.path != "/align":
                 self._reply(404, {"error": "not found"})
                 return
@@ -380,8 +499,9 @@ def main(argv=None) -> int:
         n = warmup_aligner(service.aligner, durations, max_batch=args.max_batch)
         print(f"[serve] warmed {n} program shapes in "
               f"{time.perf_counter() - t0:.1f} s", flush=True)
+    streams = StreamRegistry(service.aligner, args.compute_dtype)
     server = AlignHTTPServer(
-        (args.host, args.port), make_handler(service, device)
+        (args.host, args.port), make_handler(service, device, streams)
     )
     print(f"[serve] listening on http://{args.host}:{server.server_port} "
           f"(device={device}, window={args.window_ms} ms, "
