@@ -319,3 +319,40 @@ def test_stream_session_lifecycle(stream_server):
     assert code == 200
     code, out = _req(url, "/stream/nope/flush")
     assert code == 404
+
+
+def test_stream_registry_reaping_and_clamps(model_dir):
+    import time as _time
+
+    from wav2vec2_tpu.serve import StreamRegistry
+
+    service, _device = build_service_from_model_dir(
+        model_dir, compute_dtype="float32", max_batch=2
+    )
+    try:
+        reg = StreamRegistry(service.aligner, "float32", max_streams=1,
+                             idle_timeout_s=0.2)
+        # abandoned session is reaped, freeing the slot
+        reg.start("THE")
+        _time.sleep(0.3)
+        sid2 = reg.start("CAT")  # would raise "too many" without reaping
+        # clamping: absurd knobs still produce a working session
+        reg.delete(sid2)
+        sid3 = reg.start("THE", chunk_sec=10_000, overlap_sec=0.0,
+                         finalize_margin_sec=-5)
+        sess = reg._sessions[sid3][0]
+        assert sess.chunk <= 30 * 16000
+        assert sess.margin_frames == 0
+        reg.delete(sid3)
+    finally:
+        service.close()
+
+
+def test_stream_push_rejects_wrong_sample_rate(stream_server):
+    url = stream_server
+    code, out = _req(url, "/stream", payload={"transcript": "THE"})
+    sid = out["stream_id"]
+    code, out = _req(url, f"/stream/{sid}",
+                     payload={"audio": [0.0] * 100, "sample_rate_hz": 8000})
+    assert code == 400 and "16000" in out["error"]
+    _req(url, f"/stream/{sid}", method="DELETE")

@@ -41,6 +41,25 @@ from .tokenization import build_token_sequence_case_aware
 _NEG = np.float32(-np.inf)
 
 
+@functools.lru_cache(maxsize=32)
+def _shared_window_forward(cfg, dtype):
+    """One jitted window forward per (frozen cfg, dtype), shared by every
+    OnlineAligner session in the process — a per-instance jit would pay a
+    fresh trace+compile for each stream session."""
+    import jax
+
+    from ..models.ctc_model import log_softmax_logits, wav2vec2_forward
+
+    @jax.jit
+    def _fwd(p, audio, n):
+        logits = wav2vec2_forward(
+            p, audio, cfg, audio_lens=n, compute_dtype=dtype
+        )
+        return log_softmax_logits(logits)
+
+    return _fwd
+
+
 class IncrementalViterbi:
     """Append-only CTC Viterbi: one score row + per-frame backpointers.
 
@@ -123,14 +142,10 @@ class OnlineAligner:
         the only option for live input where global stats are unknown) or
         "none" (caller pre-normalized; gives exact agreement with the
         offline path on the same frames)."""
-        import jax
         import jax.numpy as jnp
 
-        from ..models.ctc_model import (
-            _freeze_cfg,
-            log_softmax_logits,
-            wav2vec2_forward,
-        )
+        from ..errors import InvalidInputError
+        from ..models.ctc_model import _freeze_cfg
 
         self.cfg = _freeze_cfg(model_cfg)
         self.hp = hp or AlignerHyperParams()
@@ -147,36 +162,37 @@ class OnlineAligner:
 
         self.chunk = (int(chunk_sec * sample_rate) // self.stride) * self.stride
         ov = (int(overlap_sec * sample_rate) // self.stride) * self.stride
-        assert 0 < ov < self.chunk, "need 0 < overlap < chunk"
+        # real exceptions, not asserts: these validate CALLER input (e.g.
+        # the serving daemon's client-supplied knobs) and must survive -O
+        if not 0 < ov < self.chunk:
+            raise InvalidInputError("need 0 < overlap_sec < chunk_sec")
         self.hop = self.chunk - ov
         # consecutive windows must overlap in FRAMES too: the conv stack's
         # receptive field eats ~(chunk/stride - conv_output_length(chunk))
         # frames off each window, so a too-small overlap would leave a gap
         # of frames no window produces (and silently desync the DP)
-        assert self.hop // self.stride < model_cfg.conv_output_length(self.chunk), (
-            "overlap_sec too small for the model's receptive field"
-        )
+        if self.hop // self.stride >= model_cfg.conv_output_length(self.chunk):
+            raise InvalidInputError(
+                "overlap_sec too small for the model's receptive field"
+            )
         self.margin_frames = int(finalize_margin_sec * 1000 / self.stride_ms)
 
         dtype = jnp.float32 if compute_dtype == "float32" else jnp.bfloat16
-        cfg = self.cfg
-
-        @functools.partial(jax.jit)
-        def _fwd(p, audio, n):
-            logits = wav2vec2_forward(
-                p, audio, cfg, audio_lens=n, compute_dtype=dtype
-            )
-            return log_softmax_logits(logits)
-
-        self._fwd = _fwd
+        # the window forward is SHARED across sessions with the same
+        # (cfg, dtype): one compile per window shape per process, not per
+        # stream session (the serving daemon opens many sessions)
+        self._fwd = _shared_window_forward(self.cfg, dtype)
         self._params = params
         self._jnp = jnp
 
         self._normalize = normalize
         self._buf = np.zeros(0, np.float32)
+        self._buf_base = 0         # samples dropped from the front of _buf
         self._next_start = 0       # sample index of the next window
         self._pending: tuple[np.ndarray, int] | None = None  # (lp, f0)
-        self._rows: list[np.ndarray] = []   # adopted [V] log-prob rows
+        self._lp = np.zeros((0, model_cfg.vocab_size), np.float32)
+        self._n_rows = 0           # adopted frames (rows of _lp in use)
+        self._last_finalized_at = 0
         self._emitted: list[WordTiming] = []
         self._closed = False
 
@@ -186,7 +202,8 @@ class OnlineAligner:
         """Run the fixed-shape forward on window [start, start+chunk);
         true_len ≤ chunk masks the tail (flush's last window)."""
         audio = np.zeros(self.chunk, np.float32)
-        avail = self._buf[start : start + true_len]
+        b = start - self._buf_base
+        avail = self._buf[b : b + true_len]
         audio[: len(avail)] = avail
         if self._normalize == "window" and len(avail):
             # per-stream normalization is global in the offline path;
@@ -202,37 +219,49 @@ class OnlineAligner:
         t_true = self.cfg.conv_output_length(len(avail))
         return np.asarray(lp[0, :t_true], np.float32)
 
+    def _append_row(self, row: np.ndarray) -> None:
+        if self._n_rows == self._lp.shape[0]:
+            cap = max(256, 2 * self._lp.shape[0])
+            grown = np.zeros((cap, self._lp.shape[1]), np.float32)
+            grown[: self._n_rows] = self._lp[: self._n_rows]
+            self._lp = grown
+        self._lp[self._n_rows] = row
+        self._n_rows += 1
+        self.dp.append(row)
+
     def _adopt(self, upto_f: int) -> None:
-        """Append pending-window rows for global frames [len(rows), upto_f)
+        """Append pending-window rows for global frames [n_rows, upto_f)
         to the DP."""
         if self._pending is None:
             return
         lp, f0 = self._pending
-        start = len(self._rows)
-        for g in range(start, upto_f):
+        for g in range(self._n_rows, upto_f):
             local = g - f0
-            assert local >= 0, "frame gap between windows (overlap too small)"
+            if local < 0:
+                raise RuntimeError(
+                    "frame gap between windows (overlap too small)"
+                )
             if local < lp.shape[0]:
-                row = lp[local]
-                self._rows.append(row)
-                self.dp.append(row)
+                self._append_row(lp[local])
 
-    def _crossover(self, f0_a: int, n_a: int, f0_b: int) -> int:
-        """First global frame the NEXT window owns (deeper context) — the
-        incremental form of stitch_log_probs' depth rule."""
+    def _crossover(self, f0_a: int, n_a: int, f0_b: int, n_b: int) -> int:
+        """First global frame the NEXT window owns — stitch_log_probs'
+        deepest-context rule including both windows' edge depths and the
+        earlier-window-wins tie break (strict >)."""
         for g in range(f0_b, f0_a + n_a):
             depth_a = min(g - f0_a, n_a - 1 - (g - f0_a))
-            depth_b = g - f0_b
+            depth_b = min(g - f0_b, n_b - 1 - (g - f0_b))
             if depth_b > depth_a:
                 return g
         return f0_a + n_a
 
     def _finalize(self, cut_frame: int) -> list[WordTiming]:
+        self._last_finalized_at = self._n_rows
         t = self.dp.t
         if t == 0 or not self.seq.normalized_words:
             return []
         path = self.dp.backtrace()
-        lp_all = np.stack(self._rows)
+        lp_all = self._lp[: self._n_rows]
         ev = frame_evidence_from_log_probs(
             lp_all, self.seq.tokens, path, self.blank_id
         )
@@ -257,61 +286,74 @@ class OnlineAligner:
         f0 = start // self.stride
         if self._pending is not None:
             lp_a, f0_a = self._pending
-            self._adopt(self._crossover(f0_a, lp_a.shape[0], f0))
+            self._adopt(self._crossover(f0_a, lp_a.shape[0], f0, lp.shape[0]))
         self._pending = (lp, f0)
 
     def warmup(self) -> None:
         """Compile the window forward before the stream starts, so the
         first real push never pays the XLA compile inside its latency
-        (serving cold-start discipline; combine with the persistent
-        compile cache for cross-process reuse). Does not consume audio."""
-        saved = self._buf
-        self._buf = np.zeros(self.chunk, np.float32)
+        (serving cold-start discipline; the compiled program is shared by
+        every session with the same config/dtype). Does not consume
+        audio."""
+        saved, saved_base = self._buf, self._buf_base
+        self._buf, self._buf_base = np.zeros(self.chunk, np.float32), 0
         self._window_logprobs(0, self.chunk)
-        self._buf = saved
+        self._buf, self._buf_base = saved, saved_base
 
     def push(self, samples: np.ndarray) -> list[WordTiming]:
         """Feed more audio; returns newly FINALIZED words (possibly [])."""
-        assert not self._closed, "push after flush"
+        if self._closed:
+            raise RuntimeError("push after flush")
         self._buf = np.concatenate([self._buf, np.asarray(samples, np.float32)])
         progressed = False
-        while len(self._buf) >= self._next_start + self.chunk:
+        while self._buf_base + len(self._buf) >= self._next_start + self.chunk:
             self._ingest_window(self._next_start, self.chunk)
             self._next_start += self.hop
             progressed = True
+        # samples before the next window's start are never read again —
+        # keep the buffer bounded at ~one window regardless of stream length
+        drop = self._next_start - self._buf_base
+        if drop > 0:
+            self._buf = self._buf[drop:]
+            self._buf_base = self._next_start
         if not progressed:
             return []
         # the pending window's left half (deepest context) is stable
         lp, f0 = self._pending
         self._adopt(f0 + lp.shape[0] // 2)
-        return self._finalize(len(self._rows) - self.margin_frames)
+        # amortize: grouping the full provisional path is O(T); doing it on
+        # every push would make long streams O(T²), so finalize only after
+        # at least half a margin of new frames
+        if self._n_rows - self._last_finalized_at < max(1, self.margin_frames // 2):
+            return []
+        return self._finalize(self._n_rows - self.margin_frames)
 
     def flush(self) -> AlignmentOutput:
         """End of stream: process the tail, emit everything, and return the
         COMPLETE alignment (all words, including those already emitted)."""
-        assert not self._closed, "double flush"
+        if self._closed:
+            raise RuntimeError("double flush")
         self._closed = True
-        n_total = len(self._buf)
-        while len(self._buf) >= self._next_start + self.chunk:
+        n_total = self._buf_base + len(self._buf)
+        while n_total >= self._next_start + self.chunk:
             self._ingest_window(self._next_start, self.chunk)
             self._next_start += self.hop
         tail = n_total - self._next_start
-        if tail > 0 or self._pending is None:
-            if tail > 0:
-                self._ingest_window(self._next_start, tail)
+        if tail > 0:
+            self._ingest_window(self._next_start, tail)
         if self._pending is not None:
             lp, f0 = self._pending
             self._adopt(f0 + lp.shape[0])
         if self.seq.normalized_words:
             min_frames = -(-len(self.seq.tokens) // 2)
-            if len(self._rows) < min_frames:
+            if self._n_rows < min_frames:
                 from ..errors import InvalidInputError
 
                 # same contract as the offline min-frames guard
                 # (runtime.rs:116-121): the transcript cannot fit the audio
                 raise InvalidInputError(
-                    f"audio too short for transcript: {len(self._rows)} "
+                    f"audio too short for transcript: {self._n_rows} "
                     f"frames < {min_frames} required"
                 )
-        self._finalize(len(self._rows) + 1)
+        self._finalize(self._n_rows + 1)
         return AlignmentOutput(words=list(self._emitted))

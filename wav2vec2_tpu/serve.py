@@ -148,11 +148,15 @@ class AlignmentService:
                             )
                             r.result = out[0]
                             r.batch_size = 1
-                        except AlignmentError as e_one:
+                        except Exception as e_one:
+                            # any per-item failure fails only that item —
+                            # a non-AlignmentError here must not unwind the
+                            # loop and clobber already-successful retries
                             r.error = e_one
             except Exception as e:  # backend failure: fail the whole batch
                 for r in batch:
-                    r.error = e
+                    if r.result is None and r.error is None:
+                        r.error = e
             busy = time.perf_counter() - t0
             with self.stats_lock:
                 s = self.stats
@@ -206,12 +210,22 @@ class StreamRegistry:
     dispatches (JAX serializes device execution; the lock keeps session
     state consistent and bounds concurrent host work)."""
 
-    def __init__(self, aligner, compute_dtype: str, max_streams: int = 32):
+    def __init__(self, aligner, compute_dtype: str, max_streams: int = 32,
+                 idle_timeout_s: float = 600.0):
         self._aligner = aligner
         self._compute_dtype = compute_dtype
         self._max = max_streams
+        self._idle_timeout_s = idle_timeout_s
         self._lock = threading.Lock()
-        self._sessions: dict[str, object] = {}
+        self._sessions: dict[str, tuple[object, float]] = {}  # sid → (sess, last_used)
+
+    def _reap_locked(self) -> None:
+        """Drop sessions idle past the timeout — abandoned clients must not
+        exhaust the max_streams slots permanently."""
+        now = time.monotonic()
+        for sid in [s for s, (_, t) in self._sessions.items()
+                    if now - t > self._idle_timeout_s]:
+            del self._sessions[sid]
 
     def start(self, transcript: str, chunk_sec: float = 5.0,
               overlap_sec: float = 1.0,
@@ -220,30 +234,47 @@ class StreamRegistry:
 
         from .align.online import OnlineAligner
 
+        # clamp client-supplied knobs: each distinct window size is a
+        # separate XLA program compiled under the registry lock — clients
+        # must not be able to force hour-long windows or unbounded shapes
+        chunk_sec = min(max(float(chunk_sec), 1.0), 30.0)
+        overlap_sec = min(max(float(overlap_sec), 0.1), chunk_sec / 2)
+        finalize_margin_sec = max(float(finalize_margin_sec), 0.0)
         with self._lock:
+            self._reap_locked()
             if len(self._sessions) >= self._max:
                 raise InvalidInputError(
                     f"too many live streams (max {self._max}); flush or "
                     f"delete one first"
                 )
             sid = uuid.uuid4().hex[:16]
-            self._sessions[sid] = OnlineAligner(
+            self._sessions[sid] = (OnlineAligner(
                 self._aligner.cfg, self._aligner.params, self._aligner.vocab,
                 transcript, chunk_sec=chunk_sec, overlap_sec=overlap_sec,
                 finalize_margin_sec=finalize_margin_sec,
                 compute_dtype=self._compute_dtype,
-            )
+            ), time.monotonic())
             return sid
 
     def _get(self, sid: str):
-        sess = self._sessions.get(sid)
-        if sess is None:
+        entry = self._sessions.get(sid)
+        if entry is None:
             raise KeyError(sid)
-        return sess
+        self._sessions[sid] = (entry[0], time.monotonic())
+        return entry[0]
 
     def push(self, sid: str, audio: np.ndarray) -> list:
         with self._lock:
-            return self._get(sid).push(audio)
+            self._reap_locked()
+            sess = self._get(sid)
+            try:
+                return sess.push(audio)
+            finally:
+                # refresh AFTER the work too: a push that takes longer than
+                # the idle timeout (first-window compile) must not leave its
+                # own session looking abandoned
+                if sid in self._sessions:
+                    self._sessions[sid] = (sess, time.monotonic())
 
     def flush(self, sid: str):
         with self._lock:
@@ -276,6 +307,9 @@ def make_handler(service: AlignmentService, device_label: str,
                  streams: StreamRegistry | None = None):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
+        # socket timeout: a client that sends fewer bytes than
+        # Content-Length must not pin a handler thread forever (slowloris)
+        timeout = 60
 
         def log_message(self, fmt, *args):  # quiet by default
             pass
@@ -319,7 +353,13 @@ def make_handler(service: AlignmentService, device_label: str,
                     )
                     self._reply(200, {"stream_id": sid})
                 elif self.command == "POST" and len(parts) == 2:
-                    audio = _decode_audio(self._read_payload())
+                    payload = self._read_payload()
+                    sr = int(payload.get("sample_rate_hz", 16000))
+                    if sr != 16000:
+                        raise InvalidInputError(
+                            f"expected 16000 Hz input, got {sr}"
+                        )
+                    audio = _decode_audio(payload)
                     words = streams.push(parts[1], audio)
                     self._reply(200, {"words": [_word_to_json(w) for w in words]})
                 elif (self.command == "POST" and len(parts) == 3
