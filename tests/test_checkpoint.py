@@ -71,3 +71,47 @@ def test_safetensors_file_roundtrip(tiny, tmp_path):
     save_safetensors(path, params, cfg)
     reloaded = load_safetensors_params(path, cfg)
     assert_trees_equal(params, reloaded)
+
+
+@pytest.mark.parametrize("family", ["wavlm_adapter", "data2vec", "hubert_no_ln"])
+def test_safetensors_roundtrip_new_families(tmp_path, family):
+    """params_to_hf_flat_dict must invert params_from_flat_dict for every
+    model family (WavLM gates/bias embed, MMS adapters, data2vec pos-conv
+    stack, HuBERT without projection LN) — a dropped tensor would reload
+    silently as a plain wav2vec2 graph."""
+    import jax
+    import numpy as np
+
+    from wav2vec2_tpu.config import Wav2Vec2ModelConfig
+    from wav2vec2_tpu.models.params import init_params, load_safetensors_params
+    from wav2vec2_tpu.utils.checkpoint import save_safetensors
+
+    base = dict(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, conv_dim=[16, 16], conv_kernel=[10, 3],
+        conv_stride=[5, 2], num_conv_pos_embeddings=4,
+        num_conv_pos_embedding_groups=4, pad_token_id=0, vocab_size=8,
+        feat_extract_norm="group", conv_bias=False,
+    )
+    if family == "wavlm_adapter":
+        base.update(attention_style="wavlm", num_buckets=16,
+                    max_bucket_distance=50, adapter_attn_dim=4)
+    elif family == "data2vec":
+        base.update(pos_conv_style="data2vec", conv_pos_kernel_size=19,
+                    feat_extract_norm="layer")
+    else:
+        base.update(feat_proj_layer_norm=False)
+    cfg = Wav2Vec2ModelConfig.from_dict(base)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    p = tmp_path / "model.safetensors"
+    save_safetensors(p, params, cfg)
+    back = load_safetensors_params(p, cfg)
+
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(back)}
+    assert len(flat_a) == len(flat_b)
+    for k, v in flat_a:
+        key = jax.tree_util.keystr(k)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(flat_b[key]),
+                                   rtol=1e-6, atol=1e-6, err_msg=key)

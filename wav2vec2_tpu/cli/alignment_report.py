@@ -333,7 +333,12 @@ def run(argv=None) -> int:
     if args.batch:
         from ..models.params import load_safetensors_params
 
-        params = load_safetensors_params(weights_path, model_cfg)
+        params = load_safetensors_params(
+            weights_path, model_cfg,
+            compute_weights_dtype=(
+                "bfloat16" if args.compute_dtype == "bfloat16" else None
+            ),
+        )
         aligner = _make_batch_aligner(args, model_cfg, vocab, params)
 
         streamed: list[tuple] = []  # (case_pos, Case, duration_ms), yield order

@@ -80,6 +80,7 @@ def pos_conv_stack_forward(
     every layer, reproducing the zero padding the unpadded conv would see.
     """
     pad = cfg.conv_pos_kernel_size // 2
+    seq_len = x.shape[1]
 
     def body(h, lp):
         w = lp["weight"].transpose(2, 1, 0).astype(h.dtype)  # [K, I/G, O]
@@ -88,6 +89,7 @@ def pos_conv_stack_forward(
             dimension_numbers=("NHC", "HIO", "NHC"),
             feature_group_count=cfg.num_conv_pos_embedding_groups,
         )
+        h = h[:, :seq_len, :]  # even kernels produce T+1 (HF pad-layer trim)
         h = h + lp["bias"].astype(h.dtype)
         mean = jnp.mean(h.astype(jnp.float32), axis=-1, keepdims=True)
         var = jnp.var(h.astype(jnp.float32), axis=-1, keepdims=True)

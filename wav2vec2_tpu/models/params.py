@@ -160,6 +160,7 @@ def params_from_flat_dict(
     tensors: dict[str, np.ndarray],
     cfg: Wav2Vec2ModelConfig,
     dtype=jnp.float32,
+    compute_weights_dtype=None,
 ) -> dict:
     """Build the parameter pytree from a flat {hf_name: array} mapping
     (safetensors file contents or a torch state_dict converted to numpy).
@@ -270,8 +271,11 @@ def params_from_flat_dict(
     tree = {
         "feature_extractor": {"conv_layers": conv_layers},
         "feature_projection": {
+            # gated by CONFIG, not tensor presence: a checkpoint missing a
+            # required projection LN must fail loudly (get raises), not
+            # silently skip the norm
             **({"layer_norm": ln("wav2vec2.feature_projection.layer_norm")}
-               if has("wav2vec2.feature_projection.layer_norm.weight") else {}),
+               if getattr(cfg, "feat_proj_layer_norm", True) else {}),
             "projection": dense("wav2vec2.feature_projection.projection"),
         },
         "encoder": {
@@ -288,22 +292,34 @@ def params_from_flat_dict(
         },
         "lm_head": dense("lm_head"),
     }
+    if compute_weights_dtype is not None:
+        # cast HOST-side so the single device_put ships the small dtype
+        # (casting after upload would transfer f32 and transiently hold
+        # both copies in HBM)
+        from .quantize import cast_compute_weights_bf16
+
+        assert compute_weights_dtype in ("bfloat16", jnp.bfloat16)
+        tree = cast_compute_weights_bf16(tree)
     return jax.device_put(tree)
 
 
 def load_safetensors_params(
-    path: str | Path, cfg: Wav2Vec2ModelConfig, dtype=jnp.float32
+    path: str | Path, cfg: Wav2Vec2ModelConfig, dtype=jnp.float32,
+    compute_weights_dtype=None,
 ) -> dict:
     """Load an HF safetensors checkpoint into the parameter pytree
     (replaces the reference's VarBuilder::from_buffered_safetensors path,
-    model_runtime.rs:120-129)."""
+    model_runtime.rs:120-129). compute_weights_dtype="bfloat16" casts the
+    compute weights host-side before upload (half the transfer/HBM;
+    bit-identical under bf16 compute — models/quantize.py)."""
     from safetensors import safe_open
 
     tensors = {}
     with safe_open(str(path), framework="numpy") as f:
         for name in f.keys():
             tensors[name] = f.get_tensor(name)
-    return params_from_flat_dict(tensors, cfg, dtype=dtype)
+    return params_from_flat_dict(tensors, cfg, dtype=dtype,
+                                 compute_weights_dtype=compute_weights_dtype)
 
 
 def params_from_torch_model(torch_model, cfg: Wav2Vec2ModelConfig, dtype=jnp.float32) -> dict:

@@ -121,22 +121,30 @@ def cast_compute_weights_bf16(params: dict):
     `astype(x.dtype)` anyway (layers.linear, feature_conv1d,
     pos_conv_forward, the data2vec stack), so bf16 STORAGE is bit-identical
     to f32 storage — while halving weight HBM (4 GB → 2 GB for mms-1b) and
-    checkpoint→device transfer. Normalization parameters and the WavLM
-    f32-consumed leaves (rel_attn_embed, gru_rel_pos_const) stay f32 per
-    the "f32 norms" policy. Only valid with compute_dtype bfloat16
-    (exactness is asserted in tests/test_quantize.py)."""
-    import jax
-
+    checkpoint→device transfer. Normalization parameters, int8 dequant
+    scales AND int8-quantized layers' biases (linear_int8 consumes its
+    bias in f32), and the WavLM f32-consumed leaves (rel_attn_embed,
+    gru_rel_pos_const) stay f32. Only valid with compute_dtype bfloat16
+    (exactness is asserted in tests/test_quantize.py). Works on host
+    (numpy) and device trees alike — cast HOST-side before device_put to
+    actually halve the transfer (params_from_flat_dict's
+    compute_weights_dtype does this)."""
     KEEP_F32_KEYS = {"layer_norm", "final_layer_norm", "norm",
                      "rel_attn_embed", "gru_rel_pos_const",
                      "scale"}  # int8 dequant scales stay f32
 
-    def cast(path, leaf):
-        keys = {getattr(p, "key", None) for p in path}
-        if keys & KEEP_F32_KEYS:
-            return leaf
-        if hasattr(leaf, "dtype") and leaf.dtype == jnp.float32:
-            return leaf.astype(jnp.bfloat16)
-        return leaf
+    def walk(node):
+        if isinstance(node, dict):
+            quantized = "kernel_q" in node
+            return {
+                k: (v if (k in KEEP_F32_KEYS or (quantized and k == "bias"))
+                    else walk(v))
+                for k, v in node.items()
+            }
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        if hasattr(node, "dtype") and node.dtype == jnp.float32:
+            return node.astype(jnp.bfloat16)
+        return node
 
-    return jax.tree_util.tree_map_with_path(cast, params)
+    return walk(params)

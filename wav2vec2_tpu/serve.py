@@ -492,7 +492,15 @@ def build_service_from_model_dir(
     model_dir = Path(model_dir)
     cfg = Wav2Vec2ModelConfig.load(model_dir / "config.json")
     vocab = load_vocab(model_dir / "vocab.json")
-    params = load_safetensors_params(model_dir / "model.safetensors", cfg)
+    params = load_safetensors_params(
+        model_dir / "model.safetensors", cfg,
+        # cast host-side so the upload ships bf16 (half transfer/HBM);
+        # int8 mode quantizes from the f32 weights instead
+        compute_weights_dtype=(
+            "bfloat16" if compute_dtype == "bfloat16" and not quantize_int8
+            else None
+        ),
+    )
     aligner = BatchAligner(
         cfg, params, vocab, compute_dtype=compute_dtype,
         quantize_int8=quantize_int8,

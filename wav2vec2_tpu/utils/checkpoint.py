@@ -59,15 +59,25 @@ def params_to_hf_flat_dict(params: dict, cfg) -> dict[str, np.ndarray]:
             put(p + ".layer_norm.bias", layer["layer_norm"]["bias"])
 
     fp = params["feature_projection"]
-    put("wav2vec2.feature_projection.layer_norm.weight", fp["layer_norm"]["weight"])
-    put("wav2vec2.feature_projection.layer_norm.bias", fp["layer_norm"]["bias"])
+    if "layer_norm" in fp:  # absent for HuBERT feat_proj_layer_norm=false
+        put("wav2vec2.feature_projection.layer_norm.weight", fp["layer_norm"]["weight"])
+        put("wav2vec2.feature_projection.layer_norm.bias", fp["layer_norm"]["bias"])
     put("wav2vec2.feature_projection.projection.weight",
         np.asarray(fp["projection"]["kernel"]).T)
     put("wav2vec2.feature_projection.projection.bias", fp["projection"]["bias"])
 
     enc = params["encoder"]
-    put("wav2vec2.encoder.pos_conv_embed.conv.weight", enc["pos_conv_embed"]["weight"])
-    put("wav2vec2.encoder.pos_conv_embed.conv.bias", enc["pos_conv_embed"]["bias"])
+    pce = enc["pos_conv_embed"]
+    if "layers" in pce:
+        # data2vec-audio stacked positional convs (leading axis L)
+        n_pos = int(np.asarray(pce["layers"]["weight"]).shape[0])
+        for i in range(n_pos):
+            p = f"wav2vec2.encoder.pos_conv_embed.layers.{i}.conv"
+            put(p + ".weight", pce["layers"]["weight"][i])
+            put(p + ".bias", pce["layers"]["bias"][i])
+    else:
+        put("wav2vec2.encoder.pos_conv_embed.conv.weight", pce["weight"])
+        put("wav2vec2.encoder.pos_conv_embed.conv.bias", pce["bias"])
     put("wav2vec2.encoder.layer_norm.weight", enc["layer_norm"]["weight"])
     put("wav2vec2.encoder.layer_norm.bias", enc["layer_norm"]["bias"])
 
@@ -91,6 +101,26 @@ def params_to_hf_flat_dict(params: dict, cfg) -> dict[str, np.ndarray]:
                 np.asarray(stacked["feed_forward"][name]["kernel"][i]).T)
             put(f"{p}.feed_forward.{name}.bias",
                 stacked["feed_forward"][name]["bias"][i])
+        if "adapter_layer" in stacked:
+            a = stacked["adapter_layer"]
+            put(f"{p}.adapter_layer.norm.weight", a["norm"]["weight"][i])
+            put(f"{p}.adapter_layer.norm.bias", a["norm"]["bias"][i])
+            for lin in ("linear_1", "linear_2"):
+                put(f"{p}.adapter_layer.{lin}.weight",
+                    np.asarray(a[lin]["kernel"][i]).T)
+                put(f"{p}.adapter_layer.{lin}.bias", a[lin]["bias"][i])
+        if "gru_rel_pos_const" in stacked["attention"]:
+            put(f"{p}.attention.gru_rel_pos_const",
+                stacked["attention"]["gru_rel_pos_const"][i])
+            put(f"{p}.attention.gru_rel_pos_linear.weight",
+                np.asarray(stacked["attention"]["gru_rel_pos_linear"]["kernel"][i]).T)
+            put(f"{p}.attention.gru_rel_pos_linear.bias",
+                stacked["attention"]["gru_rel_pos_linear"]["bias"][i])
+            if i == 0 and "rel_attn_embed" in enc:
+                # WavLM: the shared bias embedding belongs to layer 0 in the
+                # HF layout
+                put(f"{p}.attention.rel_attn_embed.weight",
+                    enc["rel_attn_embed"])
 
     put("lm_head.weight", np.asarray(params["lm_head"]["kernel"]).T)
     put("lm_head.bias", params["lm_head"]["bias"])
