@@ -58,6 +58,10 @@ def main(argv=None) -> int:
 
     enable_compilation_cache()
     root = Path(tempfile.mkdtemp(prefix="load_serve_"))
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, root, True)  # ~380 MB checkpoint in /tmp
     model_dir = make_model_dir(root)
     service, device = S.build_service_from_model_dir(
         model_dir, compute_dtype=args.compute_dtype,

@@ -48,7 +48,7 @@ def make_model_dir(root: Path) -> Path:
     from safetensors.numpy import save_file
 
     d = root / "model"
-    d.mkdir(parents=True)
+    d.mkdir(parents=True, exist_ok=True)  # --keep dirs are reusable
     cfg_json = dict(
         hidden_size=768, num_hidden_layers=12, num_attention_heads=12,
         intermediate_size=3072, conv_dim=[512] * 7,
@@ -92,7 +92,7 @@ def make_dataset(root: Path, n_cases: int, dur_lo: float, dur_hi: float,
                 lines = []
             chapter += 1
             chap_dir = base / "1" / str(chapter)
-            chap_dir.mkdir(parents=True)
+            chap_dir.mkdir(parents=True, exist_ok=True)
         dur = float(rng.uniform(dur_lo, dur_hi))
         n = int(dur * 16000)
         total_audio_s += n / 16000.0
@@ -105,13 +105,15 @@ def make_dataset(root: Path, n_cases: int, dur_lo: float, dur_hi: float,
         lines.append(
             f"{uid} {' '.join(rng.choice(WORD_POOL, size=n_words))}"
         )
-    (chap_dir / f"1-{chapter}.trans.txt").write_text("\n".join(lines))
+    if chap_dir is not None:
+        (chap_dir / f"1-{chapter}.trans.txt").write_text("\n".join(lines))
     return root / "data", total_audio_s
 
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--cases", type=int, default=200)
+    # (validated below: at least one case)
     p.add_argument("--dur-lo", type=float, default=4.0)
     p.add_argument("--dur-hi", type=float, default=8.0)
     p.add_argument("--seed", type=int, default=0)
@@ -119,6 +121,8 @@ def main(argv=None) -> int:
     p.add_argument("--keep", default=None,
                    help="keep artifacts under this dir (default: tmp, removed)")
     args = p.parse_args(argv)
+    if args.cases < 1:
+        p.error("--cases must be >= 1")
 
     from wav2vec2_tpu.cli.alignment_report import run as cli_run
 

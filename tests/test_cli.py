@@ -249,3 +249,37 @@ def test_all_presets_build_and_run_forward():
         assert cfg.vocab_size == 12, name
         assert cfg.frame_stride_ms(16000) == pytest.approx(20.0), name
         assert cfg.conv_output_length(16000) > 0, name
+
+
+def test_cli_perf_mode_skips_unalignable_case(model_dir, dataset_root, tmp_path):
+    """Perf mode skips a too-short case per-case (warning) instead of
+    aborting and losing the aggregate/summary for measured cases."""
+    import numpy as np
+
+    from wav2vec2_tpu.data.flac_encoder import write_flac
+
+    from pathlib import Path
+
+    # add a case whose transcript cannot fit its audio
+    base = next(Path(dataset_root).rglob("*.trans.txt")).parent
+    bad = np.zeros(900, np.int64)
+    write_flac(base / "9-9-9999.flac", bad, 16000)
+    trans = base / "9-9.trans.txt"
+    trans.write_text("9-9-9999 " + " ".join(["SUPERCALIFRAGILISTIC"] * 30))
+    try:
+        out = tmp_path / "perf_skip.jsonl"
+        rc = run(
+            common_args(model_dir, dataset_root)
+            + ["--output-format", "perf", "--perf-out", str(out),
+               "--perf-warmup", "1", "--perf-repeats", "2",
+               "--perf-append", "--no-batch"]
+        )
+        assert rc == 0
+        lines = [json.loads(l) for l in out.read_text().splitlines()]
+        ids = {r["utterance_id"] for r in lines}
+        assert "9-9-9999" not in ids and len(ids) >= 1
+        summary = json.loads((tmp_path / "perf_skip.jsonl.summary.json").read_text())
+        assert summary["aggregate"]["utterance_count"] == len(ids)
+    finally:
+        (base / "9-9-9999.flac").unlink()
+        trans.unlink()

@@ -294,11 +294,16 @@ def run(argv=None) -> int:
                 f"{ap.stem}{args.textgrid_suffix}.{per_case_ext}"
             ).exists()
 
-        skipped = [c for c in cases if _exists(c)]
-        cases = [c for c in cases if not _exists(c)]
-        if skipped:
-            print(f"[alignment_report] skipping {len(skipped)} existing "
-                  f"TextGrid outputs", file=sys.stderr)
+        keep, n_skipped = [], 0
+        for c in cases:  # one stat per case (full splits are 560k+ files)
+            if _exists(c):
+                n_skipped += 1
+            else:
+                keep.append(c)
+        cases = keep
+        if n_skipped:
+            print(f"[alignment_report] skipping {n_skipped} existing "
+                  f"{per_case_ext} outputs", file=sys.stderr)
         if not cases:
             print("[alignment_report] nothing to do", file=sys.stderr)
             return 0
@@ -492,82 +497,96 @@ def _run_perf(args, model_dir, model_cfg, dataset_root, cases) -> int:
     records: list[perf_fmt.PerfUtteranceRecord] = []
     scaling: list[tuple[str, int, int, int, float]] = []
 
-    for idx, c in enumerate(cases):
-        samples, rate = read_audio_mono(dataset_root / c.audio_path)
-        duration_ms = int(len(samples) / rate * 1000)
-        inp = AlignmentInput(
-            rate, samples, c.transcript, normalized=normalize_audio(samples)
-        )
-        if idx == 0:
-            for _ in range(args.perf_warmup):
-                aligner.align_profiled(inp)
-        stage_runs = {k: [] for k in
-                      ("forward", "post", "dp", "group", "conf", "align", "total")}
-        last = None
-        memory = None
-        for rep in range(max(args.perf_repeats, 1)):
-            if rep == 0:
-                # memory profiled on repeat 0 only (alignment_report.rs perf loop)
-                last, stage_memory = aligner.align_profiled_with_memory(inp)
-                memory = _perf_memory_from_stages(stage_memory)
-            else:
-                last = aligner.align_profiled(inp)
-            t = last.timings
-            for k, v in (("forward", t.forward_ms), ("post", t.post_ms),
-                         ("dp", t.dp_ms), ("group", t.group_ms),
-                         ("conf", t.conf_ms), ("align", t.align_ms),
-                         ("total", t.total_ms)):
-                stage_runs[k].append(v)
+    from ..errors import InvalidInputError
 
-        align_ms = agg_fn(stage_runs["align"])
-        ts = max(last.ts_product, 1)
-        record = perf_fmt.PerfUtteranceRecord(
-            utterance_id=c.id,
-            audio_path=c.audio_path,
-            duration_ms=duration_ms,
-            num_frames_t=last.num_frames_t,
-            state_len=last.state_len,
-            ts_product=last.ts_product,
-            vocab_size=last.vocab_size,
-            dtype=last.dtype,
-            device=last.device,
-            frame_stride_ms=last.frame_stride_ms,
-            warmup=args.perf_warmup,
-            repeats=args.perf_repeats,
-            aggregate=args.perf_aggregate,
-            forward_ms=agg_fn(stage_runs["forward"]),
-            post_ms=agg_fn(stage_runs["post"]),
-            dp_ms=agg_fn(stage_runs["dp"]),
-            group_ms=agg_fn(stage_runs["group"]),
-            conf_ms=agg_fn(stage_runs["conf"]),
-            align_ms=align_ms,
-            align_ms_per_ts=align_ms / ts,
-            align_ms_per_t=align_ms / max(last.num_frames_t, 1),
-            total_ms=agg_fn(stage_runs["total"]),
-            forward_ms_repeats=stage_runs["forward"],
-            post_ms_repeats=stage_runs["post"],
-            dp_ms_repeats=stage_runs["dp"],
-            group_ms_repeats=stage_runs["group"],
-            conf_ms_repeats=stage_runs["conf"],
-            align_ms_repeats=stage_runs["align"],
-            total_ms_repeats=stage_runs["total"],
-            memory=memory,
-        )
-        records.append(record)
-        scaling.append(
-            (c.id, last.num_frames_t, last.state_len, last.ts_product,
-             record.dp_ms)
-        )
-        if appender is not None:
-            appender.append(record)
-        if (idx + 1) % 10 == 0:
-            print(f"[alignment_report] perf {idx + 1}/{len(cases)}",
-                  file=sys.stderr)
+    warmed = False
+    try:
+        for idx, c in enumerate(cases):
+            samples, rate = read_audio_mono(dataset_root / c.audio_path)
+            duration_ms = int(len(samples) / rate * 1000)
+            inp = AlignmentInput(
+                rate, samples, c.transcript, normalized=normalize_audio(samples)
+            )
+            stage_runs = {k: [] for k in
+                          ("forward", "post", "dp", "group", "conf", "align", "total")}
+            last = None
+            memory = None
+            try:
+                if not warmed:
+                    for _ in range(args.perf_warmup):
+                        aligner.align_profiled(inp)
+                    warmed = True
+                for rep in range(max(args.perf_repeats, 1)):
+                    if rep == 0:
+                        # memory profiled on repeat 0 only (alignment_report.rs perf loop)
+                        last, stage_memory = aligner.align_profiled_with_memory(inp)
+                        memory = _perf_memory_from_stages(stage_memory)
+                    else:
+                        last = aligner.align_profiled(inp)
+                    t = last.timings
+                    for k, v in (("forward", t.forward_ms), ("post", t.post_ms),
+                                 ("dp", t.dp_ms), ("group", t.group_ms),
+                                 ("conf", t.conf_ms), ("align", t.align_ms),
+                                 ("total", t.total_ms)):
+                        stage_runs[k].append(v)
+            except InvalidInputError as e:
+                # per-case skip, like the json/textgrid modes: one unalignable
+                # case must not abort the run and lose the aggregate
+                print(f"[alignment_report] skipping {c.id}: {e}", file=sys.stderr)
+                continue
 
-    if profile_ctx is not None:
-        profile_ctx.close()
-        print(f"[alignment_report] jax profiler trace written to "
-              f"{args.jax_profile}", file=sys.stderr)
+            align_ms = agg_fn(stage_runs["align"])
+            ts = max(last.ts_product, 1)
+            record = perf_fmt.PerfUtteranceRecord(
+                utterance_id=c.id,
+                audio_path=c.audio_path,
+                duration_ms=duration_ms,
+                num_frames_t=last.num_frames_t,
+                state_len=last.state_len,
+                ts_product=last.ts_product,
+                vocab_size=last.vocab_size,
+                dtype=last.dtype,
+                device=last.device,
+                frame_stride_ms=last.frame_stride_ms,
+                warmup=args.perf_warmup,
+                repeats=args.perf_repeats,
+                aggregate=args.perf_aggregate,
+                forward_ms=agg_fn(stage_runs["forward"]),
+                post_ms=agg_fn(stage_runs["post"]),
+                dp_ms=agg_fn(stage_runs["dp"]),
+                group_ms=agg_fn(stage_runs["group"]),
+                conf_ms=agg_fn(stage_runs["conf"]),
+                align_ms=align_ms,
+                align_ms_per_ts=align_ms / ts,
+                align_ms_per_t=align_ms / max(last.num_frames_t, 1),
+                total_ms=agg_fn(stage_runs["total"]),
+                forward_ms_repeats=stage_runs["forward"],
+                post_ms_repeats=stage_runs["post"],
+                dp_ms_repeats=stage_runs["dp"],
+                group_ms_repeats=stage_runs["group"],
+                conf_ms_repeats=stage_runs["conf"],
+                align_ms_repeats=stage_runs["align"],
+                total_ms_repeats=stage_runs["total"],
+                memory=memory,
+            )
+            records.append(record)
+            scaling.append(
+                (c.id, last.num_frames_t, last.state_len, last.ts_product,
+                 record.dp_ms)
+            )
+            if appender is not None:
+                appender.append(record)
+            if (idx + 1) % 10 == 0:
+                print(f"[alignment_report] perf {idx + 1}/{len(cases)}",
+                      file=sys.stderr)
+
+    finally:
+        if profile_ctx is not None:
+            # finalize the trace even when a case raises — an
+            # unfinalized jax profiler directory is empty/corrupt
+            profile_ctx.close()
+            print(f"[alignment_report] jax profiler trace written to "
+                  f"{args.jax_profile}", file=sys.stderr)
 
     config = perf_fmt.PerfRunConfig(
         warmup=args.perf_warmup, repeats=args.perf_repeats,
