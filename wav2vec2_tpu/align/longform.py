@@ -106,6 +106,22 @@ def align_longform(
         stride *= s
     stride_ms = model_cfg.frame_stride_ms(sample_rate)
 
+    # tokenize FIRST (audio-independent): empty transcripts/audio and
+    # unalignable transcripts must not pay hour-scale encoder forwards or
+    # return garbage (runtime.py's empty-input + min-frames contracts)
+    seq = build_token_sequence_case_aware(transcript, vocab, blank_id, word_sep_id)
+    if len(audio) == 0 or not seq.normalized_words:
+        return AlignmentOutput(words=[])
+    min_frames = -(-len(seq.tokens) // 2)
+    if model_cfg.conv_output_length(len(audio)) < min_frames:
+        from ..errors import InvalidInputError
+
+        raise InvalidInputError(
+            f"audio too short for transcript: "
+            f"{model_cfg.conv_output_length(len(audio))} frames < "
+            f"{min_frames} required"
+        )
+
     normalized = normalize_audio(audio)
     n = len(normalized)
     chunk_samples = int(chunk_sec * sample_rate)
@@ -168,10 +184,6 @@ def align_longform(
                 )
         total_frames = model_cfg.conv_output_length(n)
         log_probs = stitch_log_probs(chunk_lps, spans, stride, total_frames)
-
-    seq = build_token_sequence_case_aware(transcript, vocab, blank_id, word_sep_id)
-    if not seq.normalized_words:
-        return AlignmentOutput(words=[])
 
     t_len = log_probs.shape[0]
     s_len = len(seq.tokens)

@@ -23,7 +23,7 @@ import numpy as np
 from ..align.grouping.path_to_words import FrameEvidence
 
 
-@partial(jax.jit, static_argnames=())
+@jax.jit
 def _evidence_kernel(log_probs, tokens, path, blank_id):
     t_pad = log_probs.shape[0]
     emit_lp = log_probs[jnp.arange(t_pad), tokens[path]]

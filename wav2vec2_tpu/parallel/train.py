@@ -22,7 +22,6 @@ from ..config import Wav2Vec2ModelConfig
 from ..models.ctc_model import (
     _freeze_cfg,
     frame_lengths,
-    log_softmax_logits,
     wav2vec2_forward,
 )
 
@@ -49,7 +48,10 @@ def ctc_loss_from_logits(
 ) -> jnp.ndarray:
     """Mean CTC loss over the batch. logits [B, T, V] (f32),
     labels [B, L] vocab ids (NOT blank-interleaved)."""
-    log_probs = log_softmax_logits(logits)
+    # raw logits go straight to optax.ctc_loss, which log-softmaxes
+    # internally — normalizing here first is idempotent but pays an extra
+    # [B, T, V] logsumexp pass in forward AND backward
+    log_probs = logits.astype(jnp.float32)
     t_pad = logits.shape[1]
     l_pad = labels.shape[1]
     logit_paddings = (
@@ -71,8 +73,14 @@ def make_train_step(
     compute_dtype=jnp.bfloat16,
 ):
     """Returns jitted step(state, audio, audio_lens, labels, label_lens) →
-    (state, loss). With a mesh, shardings are applied: batch over 'data',
-    params TP-sharded per parallel.mesh.param_shardings."""
+    (state, loss).
+
+    Sharding contract (the idiomatic jax.sharding recipe): placements are
+    carried by the INPUTS — put params on the mesh with
+    parallel.mesh.shard_params (TP specs) and the batch with
+    batch_sharding BEFORE calling; jit propagates the placements and XLA
+    inserts the DP grad all-reduce + TP collectives. The `mesh` argument
+    is accepted for call-site symmetry but places nothing itself."""
     cfg = _freeze_cfg(model_cfg)
     blank_id = model_cfg.pad_token_id
 

@@ -129,9 +129,17 @@ class ViterbiSequenceAligner:
                 backend = "pallas-hbm"
         from ..ops.evidence import fused_path_evidence
         from ..ops.viterbi_pallas import on_tpu as _on_tpu
+        from ..parallel.batching import _round_up_pow2
 
+        # pad tokens to a pow2 grid: their SHAPE is part of the jit
+        # signature, and unpadded [S] would retrace + recompile the fused
+        # kernel for every distinct transcript length (s_len stays traced,
+        # so results are unchanged)
+        s_pad = _round_up_pow2(s_len, 128)
+        tok = np.zeros(s_pad, np.int32)
+        tok[:s_len] = np.asarray(tokens, np.int32)
         return fused_path_evidence(
-            lp, jnp.asarray(tokens, dtype=jnp.int32), t_len, s_len, blank_id,
+            lp, jnp.asarray(tok), t_len, s_len, blank_id,
             backend=backend, interpret=not _on_tpu(),
         )
 

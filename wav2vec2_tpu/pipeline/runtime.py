@@ -214,12 +214,20 @@ class ForcedAligner:
 
             from ..ops.evidence import compute_frame_evidence_device
 
+            from ..parallel.batching import _round_up_pow2
+
             t_pad = lp.shape[0]
             path_padded = np.zeros(t_pad, dtype=np.int32)
             path_padded[:t_len] = path_states
+            # pow2-pad tokens: their shape is part of the jit signature
+            # (unpadded would recompile per transcript length); the valid
+            # path never indexes past the true tokens
+            s_pad = _round_up_pow2(len(token_sequence.tokens), 128)
+            tok = np.zeros(s_pad, np.int32)
+            tok[: len(token_sequence.tokens)] = token_sequence.tokens
             return compute_frame_evidence_device(
                 lp,
-                jnp.asarray(token_sequence.tokens, dtype=jnp.int32),
+                jnp.asarray(tok),
                 jnp.asarray(path_padded),
                 self.blank_id,
                 t_len,
