@@ -289,3 +289,28 @@ def test_grouping_installed_layout_fallback(monkeypatch, tmp_path):
     nat, py = _both_paths("THE CAT", lp)
     _assert_identical(nat, py, "installed layout")
     monkeypatch.setattr(native_mod, "_lib", None)
+
+
+def test_native_declines_context_sensitive_lowercasing():
+    """Unicode Final_Sigma ('ΘΕΟΣ'.lower() ends in 'ς' but per-char lower
+    gives 'σ'): the C++ engine lowercases per char, so such transcripts
+    must fall back to the Python oracle instead of diverging."""
+    from wav2vec2_tpu.align.grouping.native import group_into_words_native
+    from wav2vec2_tpu.align.grouping.path_to_words import FrameEvidence
+    from wav2vec2_tpu.align.tokenization import build_token_sequence_case_aware
+    from wav2vec2_tpu.config import AlignerHyperParams
+
+    vocab = {"Θ": 1, "Ε": 2, "Ο": 3, "Σ": 4, "|": 5}
+    seq = build_token_sequence_case_aware("ΘΕΟΣ", vocab, 0, 5)
+    assert seq.normalized_words == ["ΘΕΟΣ"]
+    t = 2 * len(seq.tokens)
+    path = np.repeat(np.arange(len(seq.tokens)), 2)
+    ev = FrameEvidence(
+        emit_lp=np.full(t, -0.1, np.float32),
+        margin=np.ones(t, np.float32),
+        blank_prob=np.full(t, 0.2, np.float64),
+    )
+    out = group_into_words_native(path, seq.tokens, seq.chars,
+                                  seq.normalized_words, ev, 0, 5, 20.0,
+                                  AlignerHyperParams())
+    assert out is None  # declined → oracle path runs instead

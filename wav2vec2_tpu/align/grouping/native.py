@@ -224,6 +224,12 @@ def group_into_words_native(
     cps: list[int] = []
     for i, w in enumerate(expected_words):
         lw = w.lower()
+        if lw != "".join(ch.lower() for ch in w):
+            # context-sensitive lowercasing (Unicode Final_Sigma: 'ΘΕΟΣ' →
+            # 'θεος' with final 'ς', but per-char lower gives 'σ'): the C++
+            # engine lowercases per char, so its match test would diverge
+            # from the Python oracle — decline and let the oracle run
+            return None
         cps.extend(ord(ch) for ch in lw)
         exp_off[i + 1] = len(cps)
     exp_cps = np.asarray(cps or [0], np.uint32)

@@ -104,10 +104,7 @@ def _viterbi_kernel_resident(tlen_ref, slen_ref, emit_ref, tokneq_ref, path_ref,
 
     last = jax.lax.fori_loop(1, t_pad, forward_step, prev)
 
-    # final state rule (viterbi.rs:90-93) — dynamic lane extract via one-hot
-    def lane_f32(row, idx):
-        return jnp.sum(jnp.where(s_idx == idx, row, jnp.float32(0.0)))
-
+    # final state rule (viterbi.rs:90-93)
     idx_last = jnp.maximum(s_len - 1, 0)
     idx_prev = jnp.maximum(s_len - 2, 0)
     # one-hot sum is unsafe with -inf lanes; compare via max over masked rows
@@ -370,6 +367,14 @@ def viterbi_pallas_single(
             interpret=interpret,
         )(*scalars, emit, tokneq)
         return path[0][:t_orig]
+
+    if 4 * t_pad * s_pad > VMEM_BUDGET_BYTES:
+        # beyond the VMEM backpointer budget (fits_vmem): delegate to the
+        # HBM-backpointer tier instead of crashing with an opaque Mosaic
+        # VMEM allocation error — reachable via force_backend="pallas"
+        return viterbi_pallas_single_hbm(
+            log_probs, tokens, t_len, s_len, interpret=interpret
+        )
 
     path = pl.pallas_call(
         _KERNEL_BP_VMEM,
