@@ -177,6 +177,15 @@ def _make_blocked_kernel(bp_in_vmem: bool, gather_onehot: bool = False):
                 sem_in.at[slot],
             )
 
+        if not bp_in_vmem:
+
+            def store_block(b, slot):
+                return pltpu.make_async_copy(
+                    bp_buf.at[slot],
+                    bp_hbm.at[pl.ds(pl.multiple_of(b * 8, 8), 8), :],
+                    sem_out.at[slot],
+                )
+
         fetch_block(0, 0).start()
 
         final_floor = jnp.maximum(s_len - 2, 0)
@@ -215,6 +224,15 @@ def _make_blocked_kernel(bp_in_vmem: bool, gather_onehot: bool = False):
             def _():
                 fetch_block(b + 1, (b + 1) % 2).start()
 
+            if not bp_in_vmem:
+                # write-back ping-pong: before reusing this slot's staging
+                # buffer, wait for the copy issued two blocks ago — the
+                # store itself overlaps the NEXT block's DP instead of
+                # stalling the core every 8 rows
+                @pl.when(b >= 2)
+                def _():
+                    store_block(b - 2, slot).wait()
+
             if gather_onehot:
                 # [8, V] @ one-hot [V, S] -> [8, S]: exact gather on the MXU
                 emit_blk = jax.lax.dot_general(
@@ -240,20 +258,21 @@ def _make_blocked_kernel(bp_in_vmem: bool, gather_onehot: bool = False):
                 if bp_in_vmem:
                     bp_ref[pl.ds(t, 1), :] = bp_row
                 else:
-                    bp_buf[0, i : i + 1, :] = bp_row
+                    bp_buf[slot, i : i + 1, :] = bp_row
 
             if not bp_in_vmem:
-                out_cp = pltpu.make_async_copy(
-                    bp_buf.at[0],
-                    bp_hbm.at[pl.ds(pl.multiple_of(b * 8, 8), 8), :],
-                    sem_out.at[0],
-                )
-                out_cp.start()
-                out_cp.wait()
+                store_block(b, slot).start()
 
             return prev
 
         last = jax.lax.fori_loop(0, n_blocks, fwd_block, neg_row)
+
+        if not bp_in_vmem:
+            # drain the outstanding write-backs before the backtrace reads
+            # bp_hbm (n_blocks is static)
+            if n_blocks >= 2:
+                store_block(n_blocks - 2, (n_blocks - 2) % 2).wait()
+            store_block(n_blocks - 1, (n_blocks - 1) % 2).wait()
 
         # final state rule (viterbi.rs:90-93); one-hot max avoids a dynamic
         # lane extract (no scalar dynamic vector indexing on TPU)
