@@ -131,7 +131,9 @@ def _viterbi_kernel_resident(tlen_ref, slen_ref, emit_ref, tokneq_ref, path_ref,
     path_ref[:] = path_row
 
 
-def _make_blocked_kernel(bp_in_vmem: bool, gather_onehot: bool = False):
+def _make_blocked_kernel(
+    bp_in_vmem: bool, gather_onehot: bool = False, batched: bool = False
+):
     """Banded-Viterbi kernel factory.
 
     Emission rows always stream from HBM through a double-buffered VMEM
@@ -151,6 +153,17 @@ def _make_blocked_kernel(bp_in_vmem: bool, gather_onehot: bool = False):
     removes the [T, S] f32 emission array from HBM — at hour scale that
     array alone would not fit next to the backpointers (e.g. T=180k,
     S=13k: 9.4 GB each) — and halves the DP's HBM traffic.
+
+    `batched`: grid-over-batch variant for batch mode. Mosaic cannot vmap
+    a pallas_call whose HBM ("ANY") operands would need a per-batch index
+    map (blocks in that space must be the full array), so the batch axis
+    becomes the GRID dimension instead: HBM refs stay whole-array
+    [B, ...] and the kernel indexes them with pl.program_id(0), while
+    VMEM operands/outputs use ordinary per-b BlockSpecs. One program, B
+    sequential grid steps — the per-utterance DP throughput of the
+    single-utterance kernels, now available to submit_padded_batch for
+    long-transcript buckets (the lax.scan fallback measured ~70x slower
+    at these shapes).
     """
 
     def kernel(tlen_ref, slen_ref, emit_hbm, tokneq_ref, *rest):
@@ -162,17 +175,31 @@ def _make_blocked_kernel(bp_in_vmem: bool, gather_onehot: bool = False):
             bp_ref, emit_buf, sem_in = rest
         else:
             bp_hbm, emit_buf, bp_buf, sem_in, sem_out, sem_bt = rest
-        t_pad = emit_hbm.shape[0]
-        s_pad = onehot_ref.shape[1] if gather_onehot else emit_hbm.shape[1]
+        if batched:
+            # batched refs carry a leading singleton block axis (TPU block
+            # shapes must keep the last two dims full/aligned, so the
+            # per-b VMEM blocks are [1, 1, S] / [1, 1, T])
+            b_idx = pl.program_id(0)
+            emit_src = emit_hbm.at[b_idx]
+            bp_dst = None if bp_in_vmem else bp_hbm.at[b_idx]
+            t_len = tlen_ref[b_idx, 0]
+            s_len = slen_ref[b_idx, 0]
+            tokneq_row = tokneq_ref[0]
+        else:
+            emit_src = emit_hbm
+            bp_dst = None if bp_in_vmem else bp_hbm
+            t_len = tlen_ref[0, 0]
+            s_len = slen_ref[0, 0]
+            tokneq_row = tokneq_ref[0:1, :]
+        t_pad = emit_src.shape[0]
+        s_pad = onehot_ref.shape[-1] if gather_onehot else emit_src.shape[1]
         n_blocks = t_pad // 8
-        t_len = tlen_ref[0, 0]
-        s_len = slen_ref[0, 0]
         s_idx = jax.lax.broadcasted_iota(jnp.int32, (1, s_pad), 1)
         neg = jnp.float32(-jnp.inf)
 
         def fetch_block(b, slot):
             return pltpu.make_async_copy(
-                emit_hbm.at[pl.ds(pl.multiple_of(b * 8, 8), 8), :],
+                emit_src.at[pl.ds(pl.multiple_of(b * 8, 8), 8), :],
                 emit_buf.at[slot],
                 sem_in.at[slot],
             )
@@ -182,14 +209,14 @@ def _make_blocked_kernel(bp_in_vmem: bool, gather_onehot: bool = False):
             def store_block(b, slot):
                 return pltpu.make_async_copy(
                     bp_buf.at[slot],
-                    bp_hbm.at[pl.ds(pl.multiple_of(b * 8, 8), 8), :],
+                    bp_dst.at[pl.ds(pl.multiple_of(b * 8, 8), 8), :],
                     sem_out.at[slot],
                 )
 
         fetch_block(0, 0).start()
 
         final_floor = jnp.maximum(s_len - 2, 0)
-        tokneq = tokneq_ref[0:1, :] != 0
+        tokneq = tokneq_row != 0
         neg_row = jnp.full((1, s_pad), neg, jnp.float32)
 
         def shift(row, k):
@@ -235,8 +262,9 @@ def _make_blocked_kernel(bp_in_vmem: bool, gather_onehot: bool = False):
 
             if gather_onehot:
                 # [8, V] @ one-hot [V, S] -> [8, S]: exact gather on the MXU
+                onehot = onehot_ref[0] if batched else onehot_ref[:]
                 emit_blk = jax.lax.dot_general(
-                    emit_buf[slot], onehot_ref[:],
+                    emit_buf[slot], onehot,
                     (((1,), (0,)), ((), ())),
                     precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32,
@@ -306,7 +334,7 @@ def _make_blocked_kernel(bp_in_vmem: bool, gather_onehot: bool = False):
                 s, path_row = carry
                 b = n_blocks - 1 - rb
                 bt_cp = pltpu.make_async_copy(
-                    bp_hbm.at[pl.ds(pl.multiple_of(b * 8, 8), 8), :],
+                    bp_dst.at[pl.ds(pl.multiple_of(b * 8, 8), 8), :],
                     bp_buf.at[1],
                     sem_bt,
                 )
@@ -327,7 +355,9 @@ def _make_blocked_kernel(bp_in_vmem: bool, gather_onehot: bool = False):
                 (final_s, jnp.zeros((1, t_pad), jnp.int32)),
             )
 
-        path_ref[:] = path_row
+        # batched blocks are [1, 1, T]: store full-ref (a sliced VMEM store
+        # would need 128-aligned slices under Mosaic's tiling)
+        path_ref[:] = path_row[None] if batched else path_row
 
     return kernel
 
@@ -335,6 +365,11 @@ def _make_blocked_kernel(bp_in_vmem: bool, gather_onehot: bool = False):
 _KERNEL_BP_VMEM = _make_blocked_kernel(bp_in_vmem=True)
 _KERNEL_BP_HBM = _make_blocked_kernel(bp_in_vmem=False)
 _KERNEL_BP_HBM_GATHER = _make_blocked_kernel(bp_in_vmem=False, gather_onehot=True)
+_KERNEL_BP_VMEM_BATCH = _make_blocked_kernel(bp_in_vmem=True, batched=True)
+_KERNEL_BP_HBM_BATCH = _make_blocked_kernel(bp_in_vmem=False, batched=True)
+_KERNEL_BP_HBM_GATHER_BATCH = _make_blocked_kernel(
+    bp_in_vmem=False, gather_onehot=True, batched=True
+)
 
 
 def _prepare_inputs(log_probs, tokens):
@@ -415,10 +450,121 @@ def viterbi_pallas_single(
     return path[0][:t_orig]
 
 
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def viterbi_pallas_batch(log_probs, tokens, t_lens, s_lens, interpret=False):
-    """Batched fused Viterbi: vmap adds a grid dimension over utterances."""
-    fn = functools.partial(viterbi_pallas_single, interpret=interpret)
-    return jax.vmap(fn)(log_probs, tokens, t_lens, s_lens)
+    """Batched fused Viterbi: [B, T, V], [B, S], [B], [B] → paths [B, T].
+
+    Tier dispatch by static padded shape:
+    - fully-VMEM-resident kernel under vmap (no HBM operands — vmappable);
+    - otherwise a GRID-over-batch kernel (Mosaic rejects vmap over HBM
+      operands: "ANY"-space blocks must be whole-array) with backpointers
+      in VMEM scratch when they fit, else streamed through HBM — so batch
+      mode keeps full DP throughput at 30 s-audio / long-transcript shapes
+      instead of falling back to the ~70x-slower lax.scan DP
+      (the reference's GPU DP is likewise unconditional above its
+      threshold, viterbi.rs:13-47)."""
+    b, t_orig, v = log_probs.shape
+    t_pad = _round_up(max(t_orig, 8), 8)
+    s_pad = _round_up(max(int(tokens.shape[1]), LANE), LANE)
+
+    if 8 * t_pad * s_pad <= VMEM_BUDGET_BYTES:
+        # emissions + backpointers both VMEM-resident: vmappable
+        fn = functools.partial(viterbi_pallas_single, interpret=interpret)
+        return jax.vmap(fn)(log_probs, tokens, t_lens, s_lens)
+
+    bp_in_vmem = 4 * t_pad * s_pad <= VMEM_BUDGET_BYTES
+    gather = (not bp_in_vmem) and v <= LANE
+
+    tokens_p = jnp.pad(
+        tokens.astype(jnp.int32), ((0, 0), (0, s_pad - tokens.shape[1]))
+    )
+    # per-b VMEM operands/outputs carry a singleton middle axis so their
+    # block shapes keep the last two dims equal to the array dims (the TPU
+    # (8, 128)-alignment rule for blocked specs)
+    tokneq = (tokens_p != jnp.roll(tokens_p, 2, axis=1)).astype(jnp.int32)
+    tokneq = tokneq[:, None, :]  # [B, 1, s_pad]
+    scalars = (
+        jnp.reshape(jnp.asarray(t_lens, jnp.int32), (b, 1)),
+        jnp.reshape(jnp.asarray(s_lens, jnp.int32), (b, 1)),
+    )
+    grid_kw = dict(
+        grid=(b,),
+        out_shape=jax.ShapeDtypeStruct((b, 1, t_pad), jnp.int32),
+        out_specs=pl.BlockSpec((1, 1, t_pad), lambda i: (i, 0, 0)),
+        interpret=interpret,
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    tokneq_spec = pl.BlockSpec((1, 1, s_pad), lambda i: (i, 0, 0))
+
+    if gather:
+        lp = log_probs.astype(jnp.float32)
+        lp = jnp.pad(lp, ((0, 0), (0, t_pad - t_orig), (0, LANE - v)))
+        onehot = (
+            tokens_p[:, None, :]
+            == jnp.arange(LANE, dtype=jnp.int32)[None, :, None]
+        ).astype(jnp.float32)  # [B, LANE, s_pad]
+        path, _ = pl.pallas_call(
+            _KERNEL_BP_HBM_GATHER_BATCH,
+            in_specs=[
+                smem, smem, hbm, tokneq_spec,
+                pl.BlockSpec((1, LANE, s_pad), lambda i: (i, 0, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, 8, LANE), jnp.float32),
+                pltpu.VMEM((2, 8, s_pad), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024,
+            ),
+            **{**grid_kw, "out_shape": (
+                grid_kw["out_shape"],
+                jax.ShapeDtypeStruct((b, t_pad, s_pad), jnp.int32),
+            ), "out_specs": (grid_kw["out_specs"], hbm)},
+        )(*scalars, lp, tokneq, onehot)
+        return path[:, 0, :t_orig]
+
+    # pre-gathered [B, T, S] emissions (vocab > 128 or bp fits VMEM)
+    emit = jnp.take_along_axis(
+        log_probs.astype(jnp.float32),
+        jnp.broadcast_to(tokens_p[:, None, :], (b, t_orig, s_pad)),
+        axis=2,
+    )
+    if t_pad != t_orig:
+        emit = jnp.pad(emit, ((0, 0), (0, t_pad - t_orig), (0, 0)))
+
+    if bp_in_vmem:
+        path = pl.pallas_call(
+            _KERNEL_BP_VMEM_BATCH,
+            in_specs=[smem, smem, hbm, tokneq_spec],
+            scratch_shapes=[
+                pltpu.VMEM((t_pad, s_pad), jnp.int32),
+                pltpu.VMEM((2, 8, s_pad), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            **grid_kw,
+        )(*scalars, emit, tokneq)
+        return path[:, 0, :t_orig]
+
+    path, _ = pl.pallas_call(
+        _KERNEL_BP_HBM_BATCH,
+        in_specs=[smem, smem, hbm, tokneq_spec],
+        scratch_shapes=[
+            pltpu.VMEM((2, 8, s_pad), jnp.float32),
+            pltpu.VMEM((2, 8, s_pad), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        **{**grid_kw, "out_shape": (
+            grid_kw["out_shape"],
+            jax.ShapeDtypeStruct((b, t_pad, s_pad), jnp.int32),
+        ), "out_specs": (grid_kw["out_specs"], hbm)},
+    )(*scalars, emit, tokneq)
+    return path[:, 0, :t_orig]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

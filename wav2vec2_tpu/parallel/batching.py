@@ -155,12 +155,18 @@ def _batch_align_kernel(
     log_probs = log_softmax_logits(logits)
     t_lens = frame_lengths(cfg, audio_lens)
     if use_pallas:
-        from ..ops.viterbi_pallas import viterbi_pallas_single
+        from ..ops.viterbi_pallas import viterbi_pallas_batch
 
-        vit = functools.partial(viterbi_pallas_single, interpret=interpret)
+        # tier-aware: vmapped VMEM-resident kernel for typical shapes, a
+        # grid-over-batch kernel (VMEM- or HBM-backpointer) beyond — long
+        # transcripts never fall back to the scan DP
+        paths = viterbi_pallas_batch(
+            log_probs, tokens, t_lens, s_lens, interpret=interpret
+        )
     else:
-        from ..ops.viterbi_ref import viterbi_single as vit
-    paths = jax.vmap(vit)(log_probs, tokens, t_lens, s_lens)
+        from ..ops.viterbi_ref import viterbi_single
+
+        paths = jax.vmap(viterbi_single)(log_probs, tokens, t_lens, s_lens)
     emit_lp, margin, blank_prob, entropy = _evidence_batch(
         log_probs, tokens, paths, blank_id
     )
@@ -262,10 +268,25 @@ class BatchAligner:
         audio, audio_lens, tokens, s_lens = self._device_put_batch(
             audio, audio_lens, tokens, s_lens
         )
-        from ..ops.viterbi_pallas import fits_vmem
+        from ..ops.viterbi_pallas import fits_vmem, on_tpu
 
         t_pad = self.cfg.conv_output_length(int(audio.shape[1]))
-        use_pallas = self.use_pallas and fits_vmem(t_pad, int(tokens.shape[1]))
+        use_pallas = self.use_pallas
+        if use_pallas and not fits_vmem(t_pad, int(tokens.shape[1])):
+            # beyond the VMEM backpointer budget the vmapped kernel
+            # self-delegates to the HBM-backpointer tier
+            # (viterbi_pallas_single → viterbi_pallas_single_hbm) — batch
+            # mode keeps full DP throughput on long transcripts instead of
+            # silently downgrading to the ~70x-slower lax.scan DP
+            logger.debug(
+                "batch DP %dx%d exceeds the VMEM tier; HBM-backpointer "
+                "kernel engaged", t_pad, int(tokens.shape[1]),
+            )
+        elif not use_pallas and on_tpu():
+            logger.warning(
+                "batch DP running the lax.scan fallback on TPU "
+                "(use_pallas=False) — expect a large DP slowdown"
+            )
         return _batch_align_kernel(
             self.params, audio, audio_lens, tokens, s_lens,
             jnp.int32(self.blank_id), self.cfg, self.compute_dtype,
