@@ -50,12 +50,18 @@ def test_missing_onnxruntime_or_model_gives_clear_error(tmp_path):
         has_ort = True
     except ImportError:
         has_ort = False
-    if has_ort:
-        with pytest.raises(RuntimeBackendError, match="not found"):
-            OnnxRuntimeBackend(tmp_path / "missing.onnx", CFG)
-    else:
+    with pytest.raises(RuntimeBackendError, match="not found"):
+        OnnxRuntimeBackend(tmp_path / "missing.onnx", CFG)
+    if not has_ort:
+        # garbage file without onnxruntime: the embedded-evaluator fallback
+        # must explain itself, and allow_embedded=False keeps the
+        # reference's hard "onnx disabled" error (model_runtime.rs:15-44)
+        bad = tmp_path / "bad.onnx"
+        bad.write_bytes(b"not-an-onnx-file")
+        with pytest.raises(RuntimeBackendError, match="embedded"):
+            OnnxRuntimeBackend(bad, CFG)
         with pytest.raises(RuntimeBackendError, match="onnxruntime"):
-            OnnxRuntimeBackend(tmp_path / "missing.onnx", CFG)
+            OnnxRuntimeBackend(bad, CFG, allow_embedded=False)
 
 
 # --- precision-aware extraction + EP chain (model_runtime.rs:350-506) ---

@@ -12,9 +12,10 @@ execution-provider chain mirrors onnx_execution_providers (:490-506):
 
 The XLA backend is the primary runtime on TPU; this backend exists for
 environments serving exported ONNX graphs on CPU/GPU through onnxruntime.
-Gated import: a clear RuntimeBackendError when onnxruntime is absent (the
-reference's "onnx feature disabled ⇒ runtime error" behavior,
-model_runtime.rs:15-44).
+When onnxruntime is absent the session falls back to the in-repo numpy
+evaluator (onnx/reference_runtime.py) so the path still executes;
+`allow_embedded=False` restores the reference's "onnx feature disabled ⇒
+runtime error" behavior (model_runtime.rs:15-44).
 """
 
 from __future__ import annotations
@@ -130,15 +131,8 @@ class OnnxRuntimeBackend:
     lock like the reference's Mutex, model_runtime.rs:200-202)."""
 
     def __init__(self, model_path: str | Path, model_cfg: Wav2Vec2ModelConfig,
-                 device: str = "cpu", providers: list[str] | None = None):
-        try:
-            import onnxruntime as ort
-        except ImportError as e:
-            raise RuntimeBackendError(
-                "onnx runtime",
-                "onnxruntime is not installed; install it or use the default "
-                "XLA backend (JaxRuntimeBackend)",
-            ) from e
+                 device: str = "cpu", providers: list[str] | None = None,
+                 allow_embedded: bool = True):
         if not Path(model_path).exists():
             raise RuntimeBackendError("onnx runtime", f"model not found: {model_path}")
         self.model_cfg = model_cfg
@@ -147,11 +141,40 @@ class OnnxRuntimeBackend:
         )
         self._device = device
         self._lock = threading.Lock()
-        self._session = ort.InferenceSession(
-            str(model_path),
-            providers=providers if providers is not None
-            else execution_providers(device),
-        )
+        try:
+            import onnxruntime as ort
+        except ImportError as e:
+            # last link in the EP fallback chain: the in-repo numpy
+            # evaluator (onnx/reference_runtime.py) executes exported
+            # graphs wherever onnxruntime is absent — the second runtime
+            # always infers instead of erroring out
+            if not allow_embedded:
+                raise RuntimeBackendError(
+                    "onnx runtime",
+                    "onnxruntime is not installed; install it or use the "
+                    "default XLA backend (JaxRuntimeBackend)",
+                ) from e
+            execution_providers(device)  # validate the device label
+            from ..onnx.reference_runtime import EmbeddedOnnxSession
+
+            try:
+                self._session = EmbeddedOnnxSession(model_path)
+            except Exception as emb_err:
+                raise RuntimeBackendError(
+                    "onnx runtime",
+                    f"onnxruntime is not installed and the embedded "
+                    f"evaluator cannot run this model: {emb_err}",
+                ) from emb_err
+            logger.info(
+                "onnxruntime not installed; using the embedded numpy "
+                "evaluator (CPU, correctness-grade throughput)"
+            )
+        else:
+            self._session = ort.InferenceSession(
+                str(model_path),
+                providers=providers if providers is not None
+                else execution_providers(device),
+            )
         self._input_name = self._session.get_inputs()[0].name
         self._warned_precision_mismatch = False
         logger.info(
