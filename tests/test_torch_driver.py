@@ -148,9 +148,13 @@ def test_cross_implementation_textgrids(model_dir, dataset_root):
     assert out.returncode == 0, out.stderr
     stats = json.loads(out.stdout)
     assert stats["pairs_compared"] == 3
-    # Same weights → identical DP paths; the implementations differ only in
-    # expansion-policy selection, so middles stay within one 20 ms frame.
-    assert abs(stats["median_word_middle_diff_ms"]) <= 20.0, stats
+    # Same weights → identical DP paths → the reference's own 5 ms median
+    # acceptance gates hold (compare_textgrids.py:37-38). Measured at
+    # dataset scale too: 200 cases / 2305 word pairs, medians 0.0 ms and
+    # p99 |Δ| = 0 (scripts/quality_report.py → BENCHMARKS.md).
+    for key in ("median_start_diff_ms", "median_end_diff_ms",
+                "median_word_middle_diff_ms"):
+        assert abs(stats[key]) <= 5.0, stats
 
 
 def test_driver_perf_jsonl_schema_and_comparator(model_dir, dataset_root,
