@@ -19,8 +19,11 @@ from __future__ import annotations
 
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main(argv: list[str]) -> None:
@@ -414,6 +417,124 @@ def main(argv: list[str]) -> None:
                              (1 + jax.lax.erf(x.astype(jnp.float32) / np.sqrt(2))
                               )).astype(dt), big)
             bench("relu (floor)", jax.nn.relu, big)
+        elif exp == "fe_gnfold":
+            # GroupNorm statistics computed from the RAW AUDIO via lag
+            # products (y = w ⊛ x ⇒ E[y], E[y²] are bilinear in the 10x10
+            # window-product matrix R), so the 1 GB layer-0 activation is
+            # never re-read for stats and the normalize+GELU folds into the
+            # conv epilogue as a per-channel affine.
+            def fe_gnfold(p, a, al):
+                fe_p = p["feature_extractor"]
+                gn = fe_p["conv_layers"][0]["layer_norm"]
+                w1 = fe_p["conv_layers"][0]["conv"]["weight"]  # [C,1,K]
+                k1, s1 = cfg.conv_kernel[0], cfg.conv_stride[0]
+                xf = a.astype(jnp.float32)
+                t1 = (N - k1) // s1 + 1
+                X = jnp.stack(
+                    [xf[:, j : j + s1 * t1 : s1] for j in range(k1)], axis=-1
+                )  # [B, T1, K]
+                t_lens1 = (al - k1) // s1 + 1
+                tm = (jnp.arange(t1)[None, :] < t_lens1[:, None]).astype(
+                    jnp.float32)
+                cnt = jnp.maximum(tm.sum(1), 1.0)
+                Xm = X * tm[:, :, None]
+                w2 = w1[:, 0, :].astype(jnp.float32)
+                hi = jax.lax.Precision.HIGHEST
+                m = Xm.sum(axis=1) / cnt[:, None]
+                R = jnp.einsum("btk,btj->bkj", Xm, X, precision=hi) / cnt[:, None, None]
+                mean_c = jnp.einsum("bk,ck->bc", m, w2, precision=hi)
+                e2 = jnp.einsum("ck,cj,bkj->bc", w2, w2, R, precision=hi)
+                var_c = jnp.maximum(e2 - mean_c**2, 0.0)
+                ga = gn["weight"].astype(jnp.float32)
+                be = gn["bias"].astype(jnp.float32)
+                aff_a = ga[None] * jax.lax.rsqrt(var_c + cfg.layer_norm_eps)
+                aff_b = be[None] - mean_c * aff_a
+
+                from wav2vec2_tpu.models.layers import conv1d, gelu as _gelu
+                x = a.astype(dt)[:, None, :]
+                lens = al
+                for i, (out_c, k_, s_) in enumerate(
+                    zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride)
+                ):
+                    wgt = fe_p["conv_layers"][i]["conv"]["weight"]
+                    x = conv1d(x, wgt, None, stride=s_)
+                    lens = (lens - k_) // s_ + 1
+                    if i == 0:
+                        x = (x.astype(jnp.float32) * aff_a[:, :, None]
+                             + aff_b[:, :, None])
+                        x = x * tm[:, None, :]
+                        x = x.astype(dt)
+                    x = _gelu(x)
+                return x
+            with jax.default_matmul_precision("default"):
+                bench("FE (GN stats from input)", fe_gnfold, params, audio,
+                      audio_lens)
+        elif exp == "fe_matmul":
+            # whole conv stack as channels-last matmuls: in NHC the
+            # stride-aligned window split is a FREE reshape ([B, T, C] →
+            # [B, T/2, 2C]), each layer becomes 1-2 dot_generals, and the
+            # GELU / GN-affine epilogues fuse into the matmuls — each
+            # activation is written once instead of (conv write + GELU
+            # read/write). GN stats come from the audio via lag products
+            # (see fe_gnfold).
+            def fe_matmul(p, a, al):
+                fe_p = p["feature_extractor"]
+                hi = jax.lax.Precision.HIGHEST
+                k1, s1 = cfg.conv_kernel[0], cfg.conv_stride[0]
+                n = a.shape[1]
+                t1 = (n - k1) // s1 + 1
+                xf = a.astype(jnp.float32)
+                X = jnp.stack(
+                    [xf[:, j : j + s1 * t1 : s1] for j in range(k1)], -1)
+                tl1 = (al - k1) // s1 + 1
+                tm = (jnp.arange(t1)[None, :] < tl1[:, None]).astype(
+                    jnp.float32)
+                cnt = jnp.maximum(tm.sum(1), 1.0)
+                Xm = X * tm[:, :, None]
+                w1f = fe_p["conv_layers"][0]["conv"]["weight"][:, 0, :].astype(
+                    jnp.float32)
+                m = Xm.sum(1) / cnt[:, None]
+                R = jnp.einsum("btk,btj->bkj", Xm, X, precision=hi) / cnt[:, None, None]
+                mean_c = jnp.einsum("bk,ck->bc", m, w1f, precision=hi)
+                e2 = jnp.einsum("ck,cj,bkj->bc", w1f, w1f, R, precision=hi)
+                var_c = jnp.maximum(e2 - mean_c**2, 0.0)
+                gn = fe_p["conv_layers"][0]["layer_norm"]
+                aff_a = (gn["weight"].astype(jnp.float32)[None]
+                         * jax.lax.rsqrt(var_c + cfg.layer_norm_eps))
+                aff_b = gn["bias"].astype(jnp.float32)[None] - mean_c * aff_a
+
+                from wav2vec2_tpu.models.layers import gelu as _gelu
+                w = fe_p["conv_layers"][0]["conv"]["weight"]
+                W1 = w[:, 0, :5].T.astype(dt)
+                W2 = w[:, 0, 5:].T.astype(dt)
+                blk = a.astype(dt)[:, : s1 * (t1 + 1)].reshape(B, t1 + 1, s1)
+                y = blk[:, :t1] @ W1 + blk[:, 1 : t1 + 1] @ W2
+                y = y.astype(jnp.float32) * aff_a[:, None, :] + aff_b[:, None, :]
+                y = (y * tm[:, :, None]).astype(dt)
+                y = _gelu(y)
+                for i in range(1, len(cfg.conv_dim)):
+                    k_, s_ = cfg.conv_kernel[i], cfg.conv_stride[i]
+                    wi = fe_p["conv_layers"][i]["conv"]["weight"]
+                    T_ = y.shape[1]
+                    t_out = (T_ - k_) // s_ + 1
+                    O, I = wi.shape[0], wi.shape[1]
+                    if k_ == 2 and s_ == 2:
+                        Wf = wi.transpose(2, 1, 0).reshape(2 * I, O).astype(dt)
+                        y = y[:, : 2 * t_out].reshape(B, t_out, 2 * I) @ Wf
+                    elif k_ == 3 and s_ == 2:
+                        W01 = wi[:, :, :2].transpose(2, 1, 0).reshape(
+                            2 * I, O).astype(dt)
+                        W2_ = wi[:, :, 2].T.astype(dt)
+                        pairs = y[:, : 2 * t_out].reshape(B, t_out, 2 * I)
+                        ev_next = y[:, 2 : 2 * t_out + 1 : 2]
+                        y = pairs @ W01 + ev_next @ W2_
+                    else:
+                        raise NotImplementedError((k_, s_))
+                    y = _gelu(y)
+                return y  # [B, T, C] channels-last
+            with jax.default_matmul_precision("default"):
+                bench("FE as fused matmuls", fe_matmul, params, audio,
+                      audio_lens)
         elif exp == "trace":
             def full(p, a, al):
                 return wav2vec2_forward(p, a, cfg, audio_lens=al, compute_dtype=dt)

@@ -33,12 +33,9 @@ from __future__ import annotations
 
 import argparse
 import json
-import statistics
 import sys
 import time
 from pathlib import Path
-
-import numpy as np
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
@@ -47,40 +44,11 @@ sys.path.insert(0, str(REPO_ROOT / "scripts"))
 
 from wav2vec2_tpu.cli.compare_textgrids import (  # noqa: E402
     compare_pairs,
+    extended_abs_stats,
     find_pairs,
-    words_from_textgrid,
 )
 
 ABS_THRESHOLD_MS = 5.0  # reference compare_textgrids.py:37-38
-
-
-def extended_stats(pairs) -> dict:
-    """|Δ| distribution stats beyond the reference's medians."""
-    abs_start, abs_end, abs_mid = [], [], []
-    for baseline, ours in pairs:
-        try:
-            ref_words = words_from_textgrid(baseline)
-            new_words = words_from_textgrid(ours)
-        except ValueError:
-            continue
-        if len(ref_words) != len(new_words):
-            continue
-        for (rs, re_), (ns, ne) in zip(ref_words, new_words):
-            abs_start.append(abs(ns - rs) * 1000.0)
-            abs_end.append(abs(ne - re_) * 1000.0)
-            abs_mid.append(abs((ns + ne) - (rs + re_)) / 2.0 * 1000.0)
-
-    def dist(xs):
-        if not xs:
-            return {}
-        xs = sorted(xs)
-        q = lambda p: float(np.percentile(xs, p))  # noqa: E731
-        return {"p50": round(q(50), 3), "p90": round(q(90), 3),
-                "p99": round(q(99), 3), "max": round(xs[-1], 3),
-                "mean": round(statistics.fmean(xs), 3)}
-
-    return {"abs_start_ms": dist(abs_start), "abs_end_ms": dist(abs_end),
-            "abs_middle_ms": dist(abs_mid), "word_pairs": len(abs_start)}
 
 
 def main(argv=None) -> int:
@@ -161,7 +129,7 @@ def main(argv=None) -> int:
         pairs = find_pairs(dataset_root, suffix)
         metrics, compared, failures = compare_pairs(pairs, strict=False)
         metrics["pair_failures"] = failures
-        metrics.update(extended_stats(pairs))
+        metrics.update(extended_abs_stats(pairs))
         summary["comparisons"][dtype] = metrics
         gate = (dtype == "float32")
         for key in ("median_start_diff_ms", "median_end_diff_ms",

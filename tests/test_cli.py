@@ -227,13 +227,17 @@ def test_compare_textgrids_cli_paths(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out)
     assert out["median_start_diff_ms"] == 0.0 and out["pairs_compared"] == 1
 
-    # shifted boundaries beyond 5 ms → threshold failure
+    # shifted boundaries beyond 5 ms → threshold failure; --extended adds
+    # the |Δ| distribution view
     shifted = [WordTiming(word="HI", start_ms=120, end_ms=420, confidence=0.9),
                WordTiming(word="YOU", start_ms=520, end_ms=920, confidence=0.8)]
     write_textgrid(tmp_path / "u1.flac", "HI YOU", shifted, 1000, suffix="_y")
-    assert run([str(tmp_path), "--suffix", "_y",
+    assert run([str(tmp_path), "--suffix", "_y", "--extended",
                 "--enforce-thresholds"]) == EXIT_ABS_THRESHOLD
-    capsys.readouterr()
+    out = json.loads(capsys.readouterr().out)
+    assert out["word_pairs"] == 2
+    assert out["abs_start_ms"]["max"] == pytest.approx(20.0)
+    assert out["abs_middle_ms"]["p50"] == pytest.approx(20.0)
 
 
 def test_all_presets_build_and_run_forward():

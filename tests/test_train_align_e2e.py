@@ -42,13 +42,15 @@ def synth(label_seq, rng):
     return x[:N_PAD], [(a, b) for a, b in bounds if b <= N_PAD]
 
 
-def test_train_then_align_recovers_ground_truth():
+@pytest.fixture(scope="module")
+def trained():
+    """Train the tiny CTC model once; shared by the align-recovery and
+    long-form stitch-error tests."""
     import jax
     import jax.numpy as jnp
 
     from wav2vec2_tpu.config import Wav2Vec2ModelConfig
     from wav2vec2_tpu.models.params import init_params
-    from wav2vec2_tpu.parallel.batching import BatchAligner
     from wav2vec2_tpu.parallel.train import (
         init_train_state,
         make_optimizer,
@@ -98,11 +100,17 @@ def test_train_then_align_recovers_ground_truth():
         if first_loss is None:
             first_loss = float(loss)
     assert float(loss) < first_loss / 5, "CTC training failed to converge"
+    return cfg, state.params, rng, sample, make_batch
 
+
+def test_train_then_align_recovers_ground_truth(trained):
+    from wav2vec2_tpu.parallel.batching import BatchAligner
+
+    cfg, trained_params, rng, sample, make_batch = trained
     id2ch = {1: "a", 2: "b", 4: "c", 5: "d"}
     vocab = {"a": 1, "b": 2, "|": 3, "c": 4, "d": 5}
     aligner = BatchAligner(
-        cfg, state.params, vocab, compute_dtype="float32", use_pallas=False
+        cfg, trained_params, vocab, compute_dtype="float32", use_pallas=False
     )
     errs = []
     for _ in range(5):
@@ -122,3 +130,4 @@ def test_train_then_align_recovers_ground_truth():
     # an undertrained CTC model is not frame-sharp; the bar here is "clearly
     # correlated boundaries", the per-ms parity bars live in compare_textgrids
     assert median < 300.0, f"median boundary error {median} ms"
+

@@ -94,12 +94,50 @@ def compare_pairs(
     return metrics, compared, failures
 
 
+def extended_abs_stats(pairs: list[tuple[Path, Path]]) -> dict:
+    """|Δ| distribution stats beyond the reference's medians (p50/p90/p99/
+    max/mean for start, end, and middle) — the dataset-scale quality view
+    scripts/quality_report.py publishes."""
+    import numpy as np
+
+    abs_start: list[float] = []
+    abs_end: list[float] = []
+    abs_mid: list[float] = []
+    for baseline, ours in pairs:
+        try:
+            ref_words = words_from_textgrid(baseline)
+            new_words = words_from_textgrid(ours)
+        except ValueError:
+            continue
+        if len(ref_words) != len(new_words):
+            continue
+        for (rs, re_), (ns, ne) in zip(ref_words, new_words):
+            abs_start.append(abs(ns - rs) * 1000.0)
+            abs_end.append(abs(ne - re_) * 1000.0)
+            abs_mid.append(abs((ns + ne) - (rs + re_)) / 2.0 * 1000.0)
+
+    def dist(xs):
+        if not xs:
+            return {}
+        arr = np.asarray(xs)
+        return {"p50": round(float(np.percentile(arr, 50)), 3),
+                "p90": round(float(np.percentile(arr, 90)), 3),
+                "p99": round(float(np.percentile(arr, 99)), 3),
+                "max": round(float(arr.max()), 3),
+                "mean": round(float(arr.mean()), 3)}
+
+    return {"abs_start_ms": dist(abs_start), "abs_end_ms": dist(abs_end),
+            "abs_middle_ms": dist(abs_mid), "word_pairs": len(abs_start)}
+
+
 def run(argv=None) -> int:
     p = argparse.ArgumentParser(prog="compare_textgrids")
     p.add_argument("dataset_root")
     p.add_argument("--suffix", default="_tpu")
     p.add_argument("--enforce-thresholds", action="store_true")
     p.add_argument("--strict", action="store_true")
+    p.add_argument("--extended", action="store_true",
+                   help="also report |Δ| p50/p90/p99/max/mean distributions")
     args = p.parse_args(argv)
 
     root = Path(args.dataset_root)
@@ -113,6 +151,8 @@ def run(argv=None) -> int:
         return EXIT_NO_PAIRS
 
     metrics, compared, failures = compare_pairs(pairs, args.strict)
+    if args.extended:
+        metrics.update(extended_abs_stats(pairs))
     print(json.dumps(metrics, indent=2))
 
     if args.strict and failures:
