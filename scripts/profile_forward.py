@@ -535,6 +535,80 @@ def main(argv: list[str]) -> None:
             with jax.default_matmul_precision("default"):
                 bench("FE as fused matmuls", fe_matmul, params, audio,
                       audio_lens)
+        elif exp == "fe_gelu_bf16":
+            # does the f32 cast inside gelu() block conv-output fusion?
+            def fe_gb(p, a):
+                fe_p = p["feature_extractor"]
+                x = a.astype(dt)[:, None, :]
+                from wav2vec2_tpu.models.layers import conv1d
+                for i, (out_c, k_, s_) in enumerate(
+                    zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride)
+                ):
+                    w = fe_p["conv_layers"][i]["conv"]["weight"]
+                    x = conv1d(x, w, None, stride=s_)
+                    x = jax.nn.gelu(x, approximate=False)  # bf16 erf
+                return x
+            with jax.default_matmul_precision("default"):
+                bench("FE + bf16-erf GELU", fe_gb, params, audio)
+        elif exp == "fe_gelu_tanh":
+            def fe_gt(p, a):
+                fe_p = p["feature_extractor"]
+                x = a.astype(dt)[:, None, :]
+                from wav2vec2_tpu.models.layers import conv1d
+                for i, (out_c, k_, s_) in enumerate(
+                    zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride)
+                ):
+                    w = fe_p["conv_layers"][i]["conv"]["weight"]
+                    x = conv1d(x, w, None, stride=s_)
+                    x = jax.nn.gelu(x, approximate=True)  # fusion behavior probe
+                return x
+            with jax.default_matmul_precision("default"):
+                bench("FE + tanh GELU (probe)", fe_gt, params, audio)
+        elif exp == "fe_relu":
+            def fe_rl(p, a):
+                fe_p = p["feature_extractor"]
+                x = a.astype(dt)[:, None, :]
+                from wav2vec2_tpu.models.layers import conv1d
+                for i, (out_c, k_, s_) in enumerate(
+                    zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride)
+                ):
+                    w = fe_p["conv_layers"][i]["conv"]["weight"]
+                    x = conv1d(x, w, None, stride=s_)
+                    x = jnp.maximum(x, 0)  # cheapest epilogue: fusion floor
+                return x
+            with jax.default_matmul_precision("default"):
+                bench("FE + relu (fusion floor)", fe_rl, params, audio)
+        elif exp == "fe_gelu_as":
+            # Abramowitz–Stegun 7.1.26 erf (max err 1.5e-7) evaluated in
+            # f32: cheap fusable ops (rcp + exp + 6 FMA) instead of XLA's
+            # expensive erf lowering
+            def gelu_as(x):
+                xf = x.astype(jnp.float32)
+                z = xf * jnp.float32(0.7071067811865476)
+                s = jnp.sign(z)
+                za = jnp.abs(z)
+                u = 1.0 / (1.0 + jnp.float32(0.3275911) * za)
+                poly = ((((jnp.float32(1.061405429) * u
+                           + jnp.float32(-1.453152027)) * u
+                          + jnp.float32(1.421413741)) * u
+                         + jnp.float32(-0.284496736)) * u
+                        + jnp.float32(0.254829592)) * u
+                erf = s * (1.0 - poly * jnp.exp(-za * za))
+                return (jnp.float32(0.5) * xf * (1.0 + erf)).astype(x.dtype)
+
+            def fe_as(p, a):
+                fe_p = p["feature_extractor"]
+                x = a.astype(dt)[:, None, :]
+                from wav2vec2_tpu.models.layers import conv1d
+                for i, (out_c, k_, s_) in enumerate(
+                    zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride)
+                ):
+                    w = fe_p["conv_layers"][i]["conv"]["weight"]
+                    x = conv1d(x, w, None, stride=s_)
+                    x = gelu_as(x)
+                return x
+            with jax.default_matmul_precision("default"):
+                bench("FE + A&S-erf GELU", fe_as, params, audio)
         elif exp == "trace":
             def full(p, a, al):
                 return wav2vec2_forward(p, a, cfg, audio_lens=al, compute_dtype=dt)
