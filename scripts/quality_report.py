@@ -43,9 +43,10 @@ if str(REPO_ROOT) not in sys.path:
 sys.path.insert(0, str(REPO_ROOT / "scripts"))
 
 from wav2vec2_tpu.cli.compare_textgrids import (  # noqa: E402
-    compare_pairs,
     extended_abs_stats,
     find_pairs,
+    load_word_pairs,
+    metrics_from_word_pairs,
 )
 
 ABS_THRESHOLD_MS = 5.0  # reference compare_textgrids.py:37-38
@@ -126,10 +127,10 @@ def main(argv=None) -> int:
     }
     failed = False
     for dtype, suffix in runs:
-        pairs = find_pairs(dataset_root, suffix)
-        metrics, compared, failures = compare_pairs(pairs, strict=False)
+        parsed, failures = load_word_pairs(find_pairs(dataset_root, suffix))
+        metrics = metrics_from_word_pairs(parsed)
         metrics["pair_failures"] = failures
-        metrics.update(extended_abs_stats(pairs))
+        metrics.update(extended_abs_stats(parsed))
         summary["comparisons"][dtype] = metrics
         gate = (dtype == "float32")
         for key in ("median_start_diff_ms", "median_end_diff_ms",

@@ -252,3 +252,80 @@ def test_cli_runtime_onnx_with_embedded_session(model_dir, tmp_path):
     ])
     assert rc == 0
     assert (base / "9-9-0000_onnx.TextGrid").exists()
+
+
+def test_proto_decodes_packed_repeated_fields():
+    """proto3 serializers (onnx, torch.onnx) PACK repeated scalars into one
+    length-delimited blob; the decoder must accept both packed and unpacked
+    encodings (review finding: packed dims crashed decode_tensor)."""
+    import numpy as np
+
+    from wav2vec2_tpu.onnx.proto import (
+        Attribute,
+        decode_tensor,
+        write_int,
+        write_len_delimited,
+        write_string,
+        write_tag,
+        _write_varint,
+    )
+
+    # TensorProto with PACKED dims [2, 3] + raw_data
+    buf = bytearray()
+    packed = bytearray()
+    _write_varint(packed, 2)
+    _write_varint(packed, 3)
+    write_len_delimited(buf, 1, bytes(packed))      # dims, packed
+    write_int(buf, 2, 1)                            # data_type FLOAT
+    write_string(buf, 8, "t")
+    arr = np.arange(6, dtype=np.float32).reshape(2, 3)
+    write_len_delimited(buf, 9, arr.tobytes())
+    name, got = decode_tensor(bytes(buf))
+    assert name == "t" and got.shape == (2, 3)
+    np.testing.assert_array_equal(got, arr)
+
+    # AttributeProto with PACKED ints [0, -1, 7] (e.g. Slice axes)
+    abuf = bytearray()
+    write_string(abuf, 1, "ends")
+    packed = bytearray()
+    for v in (0, (1 << 64) - 1, 7):  # -1 as two's-complement varint
+        _write_varint(packed, v)
+    write_len_delimited(abuf, 8, bytes(packed))
+    write_int(abuf, 20, 7)  # INTS
+    a = Attribute.decode(bytes(abuf))
+    assert a.ints == [0, -1, 7]
+
+    # packed floats
+    fbuf = bytearray()
+    write_string(fbuf, 1, "fs")
+    write_len_delimited(
+        fbuf, 7, np.asarray([1.5, -2.0], np.float32).tobytes())
+    write_int(fbuf, 20, 6)  # FLOATS
+    f = Attribute.decode(bytes(fbuf))
+    assert f.floats == [1.5, -2.0]
+
+
+def test_embedded_session_cast_op():
+    """Cast executes a real dtype conversion (review finding: it used to be
+    an Identity alias, silently wrong for foreign graphs)."""
+    import numpy as np
+
+    from wav2vec2_tpu.onnx import EmbeddedOnnxSession, Model
+    from wav2vec2_tpu.onnx.proto import (
+        ATTR_INT,
+        FLOAT,
+        INT64,
+        Attribute,
+        Graph,
+        Node,
+    )
+
+    g = Graph()
+    g.add_input("x", FLOAT, [2])
+    g.add_output("y", INT64, [2])
+    g.nodes.append(Node(op_type="Cast", inputs=["x"], outputs=["y"],
+                        attributes={"to": Attribute("to", type=ATTR_INT,
+                                                    i=INT64)}))
+    sess = EmbeddedOnnxSession(Model(graph=g).encode())
+    (y,) = sess.run(None, {"x": np.asarray([1.9, -2.2], np.float32)})
+    assert y.dtype == np.int64 and y.tolist() == [1, -2]

@@ -55,13 +55,13 @@ def find_pairs(root: Path, suffix: str) -> list[tuple[Path, Path]]:
     return pairs
 
 
-def compare_pairs(
-    pairs: list[tuple[Path, Path]], strict: bool
-) -> tuple[dict, int, int]:
-    start_diffs: list[float] = []
-    end_diffs: list[float] = []
-    middle_diffs: list[float] = []
-    compared = 0
+def load_word_pairs(
+    pairs: list[tuple[Path, Path]],
+) -> tuple[list[tuple[list, list]], int]:
+    """Parse each (baseline, ours) pair ONCE → (word-list pairs, failures).
+    Mismatched/unparseable pairs are warned and counted as failures, so
+    every downstream stat shares the same coverage accounting."""
+    parsed: list[tuple[list, list]] = []
     failures = 0
     for baseline, ours in pairs:
         try:
@@ -76,14 +76,21 @@ def compare_pairs(
             print(f"warning: {e}", file=sys.stderr)
             failures += 1
             continue
-        compared += 1
+        parsed.append((ref_words, new_words))
+    return parsed, failures
+
+
+def metrics_from_word_pairs(parsed: list[tuple[list, list]]) -> dict:
+    start_diffs: list[float] = []
+    end_diffs: list[float] = []
+    middle_diffs: list[float] = []
+    for ref_words, new_words in parsed:
         for (rs, re_), (ns, ne) in zip(ref_words, new_words):
             start_diffs.append((ns - rs) * 1000.0)
             end_diffs.append((ne - re_) * 1000.0)
             middle_diffs.append(((ns + ne) - (rs + re_)) / 2.0 * 1000.0)
-
-    metrics = {
-        "pairs_compared": compared,
+    return {
+        "pairs_compared": len(parsed),
         "word_pairs": len(start_diffs),
         "median_start_diff_ms": statistics.median(start_diffs) if start_diffs else 0.0,
         "median_end_diff_ms": statistics.median(end_diffs) if end_diffs else 0.0,
@@ -91,26 +98,27 @@ def compare_pairs(
             statistics.median(middle_diffs) if middle_diffs else 0.0
         ),
     }
-    return metrics, compared, failures
 
 
-def extended_abs_stats(pairs: list[tuple[Path, Path]]) -> dict:
+def compare_pairs(
+    pairs: list[tuple[Path, Path]], strict: bool
+) -> tuple[dict, int, int]:
+    parsed, failures = load_word_pairs(pairs)
+    metrics = metrics_from_word_pairs(parsed)
+    return metrics, len(parsed), failures
+
+
+def extended_abs_stats(parsed: list[tuple[list, list]]) -> dict:
     """|Δ| distribution stats beyond the reference's medians (p50/p90/p99/
     max/mean for start, end, and middle) — the dataset-scale quality view
-    scripts/quality_report.py publishes."""
+    scripts/quality_report.py publishes. Takes the word-list pairs from
+    load_word_pairs (one parse shared with the median metrics)."""
     import numpy as np
 
     abs_start: list[float] = []
     abs_end: list[float] = []
     abs_mid: list[float] = []
-    for baseline, ours in pairs:
-        try:
-            ref_words = words_from_textgrid(baseline)
-            new_words = words_from_textgrid(ours)
-        except ValueError:
-            continue
-        if len(ref_words) != len(new_words):
-            continue
+    for ref_words, new_words in parsed:
         for (rs, re_), (ns, ne) in zip(ref_words, new_words):
             abs_start.append(abs(ns - rs) * 1000.0)
             abs_end.append(abs(ne - re_) * 1000.0)
@@ -150,9 +158,11 @@ def run(argv=None) -> int:
               file=sys.stderr)
         return EXIT_NO_PAIRS
 
-    metrics, compared, failures = compare_pairs(pairs, args.strict)
+    parsed, failures = load_word_pairs(pairs)
+    compared = len(parsed)
+    metrics = metrics_from_word_pairs(parsed)
     if args.extended:
-        metrics.update(extended_abs_stats(pairs))
+        metrics.update(extended_abs_stats(parsed))
     print(json.dumps(metrics, indent=2))
 
     if args.strict and failures:

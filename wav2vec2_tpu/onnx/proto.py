@@ -55,6 +55,25 @@ def _signed64(value: int) -> int:
     return value - (1 << 64) if value >= (1 << 63) else value
 
 
+def _ints_from(value, wire_type: int) -> list[int]:
+    """Repeated scalar int field: one varint (wire type 0) or a PACKED
+    length-delimited run of varints (wire type 2 — what proto3 serializers
+    like onnx/torch.onnx emit for repeated int64)."""
+    if wire_type == 0:
+        return [_signed64(value)]
+    out = []
+    pos = 0
+    while pos < len(value):
+        v, pos = _read_varint(value, pos)
+        out.append(_signed64(v))
+    return out
+
+
+def _floats_from(value, wire_type: int) -> list[float]:
+    """Repeated float field: one fixed32 (wire type 5) or packed (2)."""
+    return [float(v) for v in np.frombuffer(value, np.float32)]
+
+
 def write_tag(buf: bytearray, field_num: int, wire_type: int) -> None:
     _write_varint(buf, (field_num << 3) | wire_type)
 
@@ -182,10 +201,10 @@ class Attribute:
                 a.s = val
                 a.type = a.type or ATTR_STRING
             elif num == 7:
-                a.floats.append(float(np.frombuffer(val, np.float32)[0]))
+                a.floats.extend(_floats_from(val, _wt))
                 a.type = a.type or ATTR_FLOATS
             elif num == 8:
-                a.ints.append(_signed64(val))
+                a.ints.extend(_ints_from(val, _wt))
                 a.type = a.type or ATTR_INTS
             elif num == 20:
                 a.type = val
@@ -267,15 +286,15 @@ def decode_tensor(data: bytes) -> tuple[str, np.ndarray]:
     int64_data: list[int] = []
     for num, _wt, val in iter_fields(data):
         if num == 1:
-            dims.append(_signed64(val))
+            dims.extend(_ints_from(val, _wt))
         elif num == 2:
             dtype = val
         elif num == 4:
-            float_data.append(float(np.frombuffer(val, np.float32)[0]))
+            float_data.extend(_floats_from(val, _wt))
         elif num == 5:
-            int32_data.append(val)
+            int32_data.extend(_ints_from(val, _wt))
         elif num == 7:
-            int64_data.append(_signed64(val))
+            int64_data.extend(_ints_from(val, _wt))
         elif num == 8:
             name = val.decode("utf-8")
         elif num == 9:

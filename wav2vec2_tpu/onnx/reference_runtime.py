@@ -146,7 +146,7 @@ class EmbeddedOnnxSession:
         "Add", "Sub", "Mul", "Div", "MatMul", "Erf", "Sqrt", "Relu",
         "Tanh", "Pow", "Conv", "Transpose", "Reshape", "Unsqueeze",
         "Squeeze", "Slice", "Softmax", "LayerNormalization",
-        "InstanceNormalization", "Identity", "Cast", "Constant",
+        "InstanceNormalization", "Identity", "Cast",
         "LogSoftmax",
     }
 
@@ -257,12 +257,16 @@ class EmbeddedOnnxSession:
         elif op == "InstanceNormalization":
             out = _instance_norm(a, inp(1), inp(2),
                                  float(node.attr("epsilon", 1e-5)))
-        elif op in ("Identity", "Cast"):
-            out = a  # exporter emits no dtype-changing Casts
-        elif op == "Constant":
-            raise NotImplementedError(
-                "Constant nodes unsupported; exporter uses initializers"
-            )
+        elif op == "Identity":
+            out = a
+        elif op == "Cast":
+            from . import proto
+
+            to = int(node.attr("to", proto.FLOAT))
+            np_dtype = proto._ONNX_TO_NP.get(to)
+            if np_dtype is None:
+                raise NotImplementedError(f"Cast to ONNX dtype {to}")
+            out = a.astype(np_dtype)
         else:  # pragma: no cover — guarded in __init__
             raise NotImplementedError(op)
         values[node.outputs[0]] = out

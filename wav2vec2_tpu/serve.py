@@ -313,6 +313,14 @@ class StreamRegistry:
         # the device forward runs OUTSIDE the registry lock: only this
         # session serializes on it
         with sess.lock:
+            # a flush/delete may have won the race between the two locks;
+            # re-check so the late push 404s cleanly instead of hitting the
+            # flushed aligner's "push after flush" as a 500 (lock order is
+            # acyclic: only push nests registry inside session)
+            with self._lock:
+                if self._sessions.get(sid) is not sess:
+                    reason = self._expired.get(sid)
+                    raise KeyError(f"{sid} ({reason})" if reason else sid)
             try:
                 return sess.aligner.push(audio)
             finally:
@@ -425,6 +433,9 @@ def make_handler(service: AlignmentService, device_label: str,
             except KeyError as e:
                 self._reply(404, {"error": f"unknown stream {e}"})
             except PayloadTooLargeError as e:
+                # the unread body would desync this keep-alive connection
+                # (its bytes would parse as the next request) — drop it
+                self.close_connection = True
                 self._reply(413, {"error": str(e)})
             except (InvalidInputError, ValueError, AssertionError) as e:
                 self._reply(400, {"error": str(e)})
@@ -487,6 +498,8 @@ def make_handler(service: AlignmentService, device_label: str,
             except PayloadTooLargeError as e:
                 with service.stats_lock:
                     service.stats["errors"] += 1
+                # unread body bytes must not parse as the next request
+                self.close_connection = True
                 self._reply(413, {"error": str(e)})
             except (InvalidInputError, ValueError, KeyError) as e:
                 with service.stats_lock:
