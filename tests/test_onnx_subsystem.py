@@ -329,3 +329,78 @@ def test_embedded_session_cast_op():
     sess = EmbeddedOnnxSession(Model(graph=g).encode())
     (y,) = sess.run(None, {"x": np.asarray([1.9, -2.2], np.float32)})
     assert y.dtype == np.int64 and y.tolist() == [1, -2]
+
+
+@pytest.mark.skipif(
+    not pytest.importorskip("importlib.util").find_spec("onnx"),
+    reason="onnx package not installed (exercised on the CI onnx leg)",
+)
+def test_foreign_torch_exported_file_parses(tmp_path):
+    """Files from the standard torch exporter (packed protobuf fields,
+    Constant nodes, ...) must PARSE with the in-repo codec; execution may
+    legitimately decline with the clear unsupported-op error (stock
+    onnxruntime serves those files — the embedded session is scoped to
+    this repo's primitive-op exports)."""
+    import torch
+    import torch.nn as nn
+
+    from wav2vec2_tpu.onnx import EmbeddedOnnxSession, load_model
+
+    m = nn.Sequential(nn.Conv1d(1, 4, 3), nn.ReLU(), nn.Conv1d(4, 2, 3))
+    path = tmp_path / "torch.onnx"
+    torch.onnx.export(m, torch.randn(1, 1, 32), str(path),
+                      opset_version=17, dynamo=False)
+    model = load_model(path)  # packed dims etc. decode
+    assert model.graph.nodes
+    convs = [n for n in model.graph.nodes if n.op_type == "Conv"]
+    assert convs and convs[0].attr("kernel_shape") == [3]
+    names = {n for n, a in model.graph.initializers.items()}
+    assert any(a.ndim == 3 for a in model.graph.initializers.values())
+    try:
+        sess = EmbeddedOnnxSession(path)
+    except ValueError as e:
+        assert "unsupported ops" in str(e)
+    else:
+        (y,) = sess.run(None, {model.graph.input_names[0]:
+                               np.ones((1, 1, 32), np.float32)})
+        ref = m(torch.ones(1, 1, 32)).detach().numpy()
+        np.testing.assert_allclose(y, ref, atol=1e-5)
+
+
+def test_embedded_session_eager_shape_ops():
+    """The dynamic-shape machinery torch.onnx emits (Shape/Gather/Concat/
+    Gemm/ReduceMean...) evaluates eagerly."""
+    from wav2vec2_tpu.onnx import EmbeddedOnnxSession, Model
+    from wav2vec2_tpu.onnx.proto import (
+        ATTR_INT,
+        FLOAT,
+        INT64,
+        Attribute,
+        Graph,
+        Node,
+    )
+
+    g = Graph()
+    g.add_input("x", FLOAT, [2, 3])
+    g.initializers["idx"] = np.asarray(0, np.int64)
+    g.initializers["w"] = np.random.default_rng(0).normal(
+        size=(3, 4)).astype(np.float32)
+    g.initializers["b"] = np.zeros(4, np.float32)
+    g.nodes += [
+        Node("Shape", ["x"], ["shp"]),
+        Node("Gather", ["shp", "idx"], ["b0"],
+             attributes={"axis": Attribute("axis", type=ATTR_INT, i=0)}),
+        Node("Gemm", ["x", "w", "b"], ["y"]),
+        Node("ReduceMean", ["y"], ["m"],
+             attributes={"axes": Attribute("axes", type=7, ints=[-1]),
+                         "keepdims": Attribute("keepdims", type=ATTR_INT,
+                                               i=0)}),
+    ]
+    g.add_output("b0", INT64, [])
+    g.add_output("m", FLOAT, [2])
+    sess = EmbeddedOnnxSession(Model(graph=g).encode())
+    x = np.ones((2, 3), np.float32)
+    b0, m = sess.run(None, {"x": x})
+    assert int(b0) == 2
+    np.testing.assert_allclose(m, (x @ g.initializers["w"]).mean(-1),
+                               rtol=1e-6)

@@ -148,6 +148,12 @@ class EmbeddedOnnxSession:
         "Squeeze", "Slice", "Softmax", "LayerNormalization",
         "InstanceNormalization", "Identity", "Cast",
         "LogSoftmax",
+        # eager-mode extras commonly emitted by torch.onnx for the same
+        # graphs (dynamic-shape machinery is trivial when shapes are
+        # concrete at run time)
+        "Shape", "Gather", "Concat", "ConstantOfShape", "Expand", "Range",
+        "Equal", "Where", "Gemm", "ReduceMean", "Neg", "Min", "Max",
+        "Clip", "Sigmoid", "Exp", "Log",
     }
 
     def __init__(self, model_path: str | Path | bytes):
@@ -257,6 +263,62 @@ class EmbeddedOnnxSession:
         elif op == "InstanceNormalization":
             out = _instance_norm(a, inp(1), inp(2),
                                  float(node.attr("epsilon", 1e-5)))
+        elif op == "Shape":
+            out = np.asarray(a.shape, np.int64)
+        elif op == "Gather":
+            out = np.take(a, inp(1), axis=int(node.attr("axis", 0)))
+        elif op == "Concat":
+            parts = [values[n] for n in node.inputs]
+            out = np.concatenate(parts, axis=int(node.attr("axis", 0)))
+        elif op == "ConstantOfShape":
+            fill = node.attributes.get("value")
+            if fill is not None:
+                raise NotImplementedError(
+                    "ConstantOfShape with tensor value attribute"
+                )
+            out = np.zeros([int(v) for v in a], np.float32)
+        elif op == "Expand":
+            out = a * np.ones([int(v) for v in inp(1)], dtype=a.dtype)
+        elif op == "Range":
+            out = np.arange(inp(0), inp(1), inp(2))
+        elif op == "Equal":
+            out = a == inp(1)
+        elif op == "Where":
+            out = np.where(a, inp(1), inp(2))
+        elif op == "Gemm":
+            alpha = float(node.attr("alpha", 1.0))
+            beta = float(node.attr("beta", 1.0))
+            A = a.T if node.attr("transA", 0) else a
+            Bm = inp(1)
+            Bm = Bm.T if node.attr("transB", 0) else Bm
+            out = alpha * (A @ Bm)
+            c = inp(2)
+            if c is not None:
+                out = out + beta * c
+        elif op == "ReduceMean":
+            axes = inp(1)
+            if axes is None:
+                axes = node.attr("axes")
+            axes = (None if axes is None
+                    else tuple(int(v) for v in np.atleast_1d(axes)))
+            out = a.mean(axis=axes,
+                         keepdims=bool(node.attr("keepdims", 1)))
+        elif op == "Neg":
+            out = -a
+        elif op == "Min":
+            out = np.minimum(a, inp(1))
+        elif op == "Max":
+            out = np.maximum(a, inp(1))
+        elif op == "Clip":
+            lo, hi = inp(1), inp(2)
+            out = np.clip(a, lo if lo is not None else -np.inf,
+                          hi if hi is not None else np.inf)
+        elif op == "Sigmoid":
+            out = 1.0 / (1.0 + np.exp(-a))
+        elif op == "Exp":
+            out = np.exp(a)
+        elif op == "Log":
+            out = np.log(a)
         elif op == "Identity":
             out = a
         elif op == "Cast":
