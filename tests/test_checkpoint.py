@@ -73,7 +73,9 @@ def test_safetensors_file_roundtrip(tiny, tmp_path):
     assert_trees_equal(params, reloaded)
 
 
-@pytest.mark.parametrize("family", ["wavlm_adapter", "data2vec", "hubert_no_ln"])
+@pytest.mark.parametrize(
+    "family", ["wavlm_adapter", "data2vec", "hubert_no_ln", "hubert_bn_pos",
+               "conv_adapter"])
 def test_safetensors_roundtrip_new_families(tmp_path, family):
     """params_to_hf_flat_dict must invert params_from_flat_dict for every
     model family (WavLM gates/bias embed, MMS adapters, data2vec pos-conv
@@ -99,6 +101,12 @@ def test_safetensors_roundtrip_new_families(tmp_path, family):
     elif family == "data2vec":
         base.update(pos_conv_style="data2vec", conv_pos_kernel_size=19,
                     feat_extract_norm="layer")
+    elif family == "hubert_bn_pos":
+        base.update(conv_pos_batch_norm=True)
+    elif family == "conv_adapter":
+        base.update(add_adapter=True, adapter_kernel_size=3,
+                    adapter_stride=2, num_adapter_layers=2,
+                    output_hidden_size=24)
     else:
         base.update(feat_proj_layer_norm=False)
     cfg = Wav2Vec2ModelConfig.from_dict(base)
@@ -121,7 +129,9 @@ def test_safetensors_roundtrip_new_families(tmp_path, family):
     from wav2vec2_tpu.utils.checkpoint import params_to_hf_flat_dict
 
     expected = {"wavlm_adapter": "wavlm.", "data2vec": "data2vec_audio.",
-                "hubert_no_ln": "wav2vec2."}[family]
+                "hubert_no_ln": "wav2vec2.",
+                "hubert_bn_pos": "wav2vec2.",
+                "conv_adapter": "wav2vec2."}[family]
     flat = params_to_hf_flat_dict(params, cfg)
     assert all(k.startswith((expected, "lm_head.")) for k in flat), sorted(flat)[:3]
     assert any(k.startswith(expected) for k in flat)
@@ -139,5 +149,6 @@ def test_hf_prefix_family_override(tiny):
     assert hf_weight_prefix(cfg) == "wav2vec2"
     flat = params_to_hf_flat_dict(params, cfg, family="hubert")
     assert all(k.startswith(("hubert.", "lm_head.")) for k in flat)
+    assert hf_weight_prefix(cfg, family="sew-d") == "sew_d"
     with pytest.raises(ValueError, match="unknown model family"):
-        hf_weight_prefix(cfg, family="sew")
+        hf_weight_prefix(cfg, family="whisper")

@@ -320,3 +320,299 @@ def test_wavlm_logits_match_transformers(stable, norm):
     got = np.asarray(fwd(params, audio))
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_hubert_batch_norm_pos_conv_matches_transformers():
+    """conv_pos_batch_norm=True (mHuBERT-147 style): inference BatchNorm on
+    the pos-conv input, folded into a per-channel affine at load time. The
+    running stats are randomized so the fold is actually exercised (fresh
+    torch BN stats are mean=0/var=1, which a missing fold would also pass)."""
+    from wav2vec2_tpu.models.params import params_from_flat_dict
+
+    d = make_cfg(do_stable_layer_norm=False, feat_extract_norm="group")
+    hf_cfg = transformers.HubertConfig(
+        **d, conv_pos_batch_norm=True,
+        hidden_dropout=0.0, attention_dropout=0.0, feat_proj_dropout=0.0,
+        final_dropout=0.0, layerdrop=0.0, hidden_act="gelu",
+    )
+    torch.manual_seed(0)
+    tm = transformers.HubertForCTC(hf_cfg).eval()
+    bn = tm.hubert.encoder.pos_conv_embed.batch_norm
+    with torch.no_grad():
+        bn.running_mean.normal_(0.1, 0.5)
+        bn.running_var.uniform_(0.5, 2.0)
+        bn.weight.normal_(1.0, 0.3)
+        bn.bias.normal_(0.0, 0.3)
+    cfg = Wav2Vec2ModelConfig.from_dict({**d, "conv_pos_batch_norm": True})
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    sd.pop("hubert.masked_spec_embed", None)
+    params = params_from_flat_dict(sd, cfg)
+    assert "batch_norm" in params["encoder"]["pos_conv_embed"]
+
+    rng = np.random.default_rng(1)
+    audio = rng.normal(size=(1, 1600)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(audio)).logits.numpy()
+    fwd = make_forward_fn(cfg)
+    got = np.asarray(fwd(params, audio))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_batch_norm_pos_conv_padded_batch_matches_unpadded():
+    """The folded BN shift moves padded positions off zero; they must be
+    re-masked before the pos-conv or they leak into valid tail frames."""
+    import jax.numpy as jnp
+
+    from wav2vec2_tpu.models.params import init_params
+    import jax
+
+    d = make_cfg(do_stable_layer_norm=False, feat_extract_norm="group")
+    cfg = Wav2Vec2ModelConfig.from_dict({**d, "conv_pos_batch_norm": True})
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    # a nonzero shift is what makes this test meaningful
+    params["encoder"]["pos_conv_embed"]["batch_norm"]["shift"] = (
+        jnp.full((cfg.hidden_size,), 0.37, jnp.float32))
+
+    rng = np.random.default_rng(2)
+    lens = [1600, 1100]
+    audios = [rng.normal(size=(n,)).astype(np.float32) for n in lens]
+    batch = np.zeros((len(lens), max(lens)), np.float32)
+    for i, a in enumerate(audios):
+        batch[i, : len(a)] = a
+
+    fwd = make_forward_fn(cfg)
+    batched = np.asarray(fwd(params, batch, jnp.asarray(lens)))
+    for i, a in enumerate(audios):
+        single = np.asarray(fwd(params, a[None, :]))
+        t_i = cfg.conv_output_length(lens[i])
+        np.testing.assert_allclose(
+            batched[i, :t_i], single[0], rtol=2e-4, atol=2e-4,
+            err_msg=f"utterance {i}",
+        )
+
+
+def test_add_adapter_logits_match_transformers():
+    """add_adapter=True: GLU conv stack after the encoder downsamples the
+    frame rate by adapter_stride**num_adapter_layers; with
+    output_hidden_size != hidden_size the stack is preceded by a
+    projection + LayerNorm and the lm_head reads the adapter width."""
+    d = make_cfg(do_stable_layer_norm=False, feat_extract_norm="group")
+    d.update(add_adapter=True, adapter_kernel_size=3, adapter_stride=2,
+             num_adapter_layers=2, output_hidden_size=24)
+    hf_cfg = transformers.Wav2Vec2Config(
+        **d, hidden_dropout=0.0, attention_dropout=0.0, feat_proj_dropout=0.0,
+        final_dropout=0.0, layerdrop=0.0, hidden_act="gelu",
+    )
+    torch.manual_seed(0)
+    tm = transformers.Wav2Vec2ForCTC(hf_cfg).eval()
+    cfg = Wav2Vec2ModelConfig.from_dict(d)
+    params = params_from_torch_model(tm, cfg)
+    assert "adapter" in params and "proj" in params["adapter"]
+
+    rng = np.random.default_rng(1)
+    audio = rng.normal(size=(1, 3200)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(audio)).logits.numpy()
+    fwd = make_forward_fn(cfg)
+    got = np.asarray(fwd(params, audio))
+    assert got.shape == ref.shape
+    # the adapter halves T per layer: 3200 samples -> 9 conv frames -> 3
+    assert got.shape[1] == cfg.conv_output_length(3200)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_add_adapter_padded_batch_matches_unpadded():
+    """Padded frames must be re-zeroed before every adapter conv, or the
+    stride-2 taps read junk where the unpadded conv saw zero padding."""
+    import jax.numpy as jnp
+
+    d = make_cfg(do_stable_layer_norm=False, feat_extract_norm="group")
+    d.update(add_adapter=True, adapter_kernel_size=3, adapter_stride=2,
+             num_adapter_layers=2, output_hidden_size=24)
+    hf_cfg = transformers.Wav2Vec2Config(
+        **d, hidden_dropout=0.0, attention_dropout=0.0, feat_proj_dropout=0.0,
+        final_dropout=0.0, layerdrop=0.0, hidden_act="gelu",
+    )
+    torch.manual_seed(0)
+    tm = transformers.Wav2Vec2ForCTC(hf_cfg).eval()
+    cfg = Wav2Vec2ModelConfig.from_dict(d)
+    params = params_from_torch_model(tm, cfg)
+
+    rng = np.random.default_rng(2)
+    lens = [3200, 2100]
+    audios = [rng.normal(size=(n,)).astype(np.float32) for n in lens]
+    batch = np.zeros((len(lens), max(lens)), np.float32)
+    for i, a in enumerate(audios):
+        batch[i, : len(a)] = a
+    fwd = make_forward_fn(cfg)
+    batched = np.asarray(fwd(params, batch, jnp.asarray(lens)))
+    for i, a in enumerate(audios):
+        single = np.asarray(fwd(params, a[None, :]))
+        t_i = cfg.conv_output_length(lens[i])
+        assert t_i == single.shape[1]
+        np.testing.assert_allclose(
+            batched[i, :t_i], single[0], rtol=2e-4, atol=2e-4,
+            err_msg=f"utterance {i}",
+        )
+
+
+def test_add_adapter_frame_stride():
+    """frame_stride_ms must reflect the adapter's extra downsampling — the
+    grouping/report layers convert frames to ms through it."""
+    d = make_cfg()
+    d.update(add_adapter=True, adapter_stride=2, num_adapter_layers=2)
+    cfg = Wav2Vec2ModelConfig.from_dict(d)
+    base = Wav2Vec2ModelConfig.from_dict(make_cfg())
+    assert cfg.frame_stride_ms(16000) == base.frame_stride_ms(16000) * 4
+
+
+def _sew_pair(project_features=True, squeeze_factor=2, n=1600):
+    from wav2vec2_tpu.models.params import params_from_flat_dict
+
+    d = dict(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64,
+        conv_dim=[16, 32 if not project_features else 16],
+        conv_kernel=[10, 3], conv_stride=[5, 2],
+        num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+        squeeze_factor=squeeze_factor, pad_token_id=0, vocab_size=12,
+    )
+    hf_cfg = transformers.SEWConfig(
+        **d, hidden_dropout=0.0, attention_dropout=0.0, feat_proj_dropout=0.0,
+        final_dropout=0.0, layerdrop=0.0, hidden_act="gelu",
+        feat_extract_norm="group", conv_bias=False,
+    )
+    torch.manual_seed(0)
+    tm = transformers.SEWForCTC(hf_cfg).eval()
+    cfg = Wav2Vec2ModelConfig.from_dict(
+        {**d, "model_type": "sew", "feat_extract_norm": "group",
+         "conv_bias": False}
+    )
+    assert cfg.encoder_style == "sew"
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    sd.pop("sew.masked_spec_embed", None)
+    params = params_from_flat_dict(sd, cfg)
+    return tm, cfg, params
+
+
+@pytest.mark.parametrize("project", [True, False],
+                         ids=["projected", "no-projection"])
+def test_sew_logits_match_transformers(project):
+    """SEW: squeeze_factor-pooled encoder (strided pos-conv + avg pool),
+    model-level post-extractor LayerNorm, optional bare-Linear projection
+    (only when conv_dim[-1] != hidden_size), linear upsampler back to the
+    conv frame rate with a zero-padded tail."""
+    tm, cfg, params = _sew_pair(project_features=project)
+    assert ("projection" in params["feature_projection"]) == project
+    assert "upsample" in params["encoder"]
+
+    rng = np.random.default_rng(1)
+    audio = rng.normal(size=(1, 1600)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(audio)).logits.numpy()
+    fwd = make_forward_fn(cfg)
+    got = np.asarray(fwd(params, audio))
+    assert got.shape == ref.shape
+    # output is back at the conv frame rate (squeeze/upsample cancel)
+    assert got.shape[1] == cfg.conv_output_length(1600)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_sew_padded_batch_matches_unpadded():
+    """Pooled-rate attention masks + zeroed upsampled tails must reproduce
+    the unpadded forward on every valid frame."""
+    import jax.numpy as jnp
+
+    tm, cfg, params = _sew_pair()
+    rng = np.random.default_rng(2)
+    lens = [1600, 1100, 731]
+    audios = [rng.normal(size=(n,)).astype(np.float32) for n in lens]
+    batch = np.zeros((len(lens), max(lens)), np.float32)
+    for i, a in enumerate(audios):
+        batch[i, : len(a)] = a
+    fwd = make_forward_fn(cfg)
+    batched = np.asarray(fwd(params, batch, jnp.asarray(lens)))
+    for i, a in enumerate(audios):
+        single = np.asarray(fwd(params, a[None, :]))
+        t_i = cfg.conv_output_length(lens[i])
+        assert t_i == single.shape[1]
+        np.testing.assert_allclose(
+            batched[i, :t_i], single[0], rtol=2e-4, atol=2e-4,
+            err_msg=f"utterance {i} (len {lens[i]})",
+        )
+
+
+def _sewd_pair():
+    from wav2vec2_tpu.models.params import params_from_flat_dict
+
+    d = dict(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, conv_dim=[16, 32], conv_kernel=[10, 3],
+        conv_stride=[5, 2], num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4, squeeze_factor=2,
+        position_buckets=32, max_position_embeddings=64,
+        layer_norm_eps=1e-7, pad_token_id=0, vocab_size=12,
+    )
+    hf_cfg = transformers.SEWDConfig(
+        **d, hidden_dropout=0.0, attention_dropout=0.0, feat_proj_dropout=0.0,
+        final_dropout=0.0, layerdrop=0.0, hidden_act="gelu",
+        feat_extract_norm="group", conv_bias=False, share_att_key=True,
+    )
+    torch.manual_seed(0)
+    tm = transformers.SEWDForCTC(hf_cfg).eval()
+    cfg = Wav2Vec2ModelConfig.from_dict(
+        {**d, "model_type": "sew-d", "feat_extract_norm": "group",
+         "conv_bias": False}
+    )
+    assert cfg.encoder_style == "sew" and cfg.attention_style == "deberta"
+    assert cfg.feature_layer_norm_eps == 1e-5  # HF SEWDConfig default
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    sd.pop("sew_d.masked_spec_embed", None)
+    params = params_from_flat_dict(sd, cfg)
+    return tm, cfg, params
+
+
+def test_sew_d_logits_match_transformers():
+    """SEW-D: SEW's squeeze/upsample plumbing around a DeBERTa-v2 encoder —
+    disentangled c2p/p2c attention over a shared LayerNormed log-bucketed
+    relative-position embedding (share_att_key), post-norm BERT layers at
+    layer_norm_eps=1e-7 while the feature path keeps 1e-5, and no
+    encoder-level LayerNorm."""
+    tm, cfg, params = _sewd_pair()
+    assert "rel_embeddings" in params["encoder"]
+    assert "layer_norm" not in params["encoder"]
+
+    rng = np.random.default_rng(1)
+    audio = rng.normal(size=(1, 1600)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(audio)).logits.numpy()
+    fwd = make_forward_fn(cfg)
+    got = np.asarray(fwd(params, audio))
+    assert got.shape == ref.shape
+    assert got.shape[1] == cfg.conv_output_length(1600)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_sew_d_padded_batch_matches_unpadded():
+    """DeBERTa attention masks (keys only) + zeroed upsampled tails must
+    reproduce the unpadded forward on every valid frame."""
+    import jax.numpy as jnp
+
+    tm, cfg, params = _sewd_pair()
+    rng = np.random.default_rng(2)
+    lens = [1600, 1100]
+    audios = [rng.normal(size=(n,)).astype(np.float32) for n in lens]
+    batch = np.zeros((len(lens), max(lens)), np.float32)
+    for i, a in enumerate(audios):
+        batch[i, : len(a)] = a
+    fwd = make_forward_fn(cfg)
+    batched = np.asarray(fwd(params, batch, jnp.asarray(lens)))
+    for i, a in enumerate(audios):
+        single = np.asarray(fwd(params, a[None, :]))
+        t_i = cfg.conv_output_length(lens[i])
+        assert t_i == single.shape[1]
+        np.testing.assert_allclose(
+            batched[i, :t_i], single[0], rtol=2e-4, atol=2e-4,
+            err_msg=f"utterance {i} (len {lens[i]})",
+        )

@@ -69,9 +69,39 @@ class Wav2Vec2ModelConfig:
     # WavLM compatibility: gated relative-position-bias attention
     # (T5-style buckets; bias from layer 0's embedding, per-layer gates);
     # detected from config.json model_type
-    attention_style: str = "wav2vec2"  # "wav2vec2" | "wavlm"
+    attention_style: str = "wav2vec2"  # "wav2vec2" | "wavlm" | "deberta"
     num_buckets: int = 320
     max_bucket_distance: int = 800
+    # HuBERT compatibility (HubertConfig.conv_pos_batch_norm, e.g.
+    # mHuBERT-147): the positional conv input is batch-normalized instead of
+    # the conv weight being weight-normed; inference folds the running stats
+    # into a per-channel affine at load time (models/params.py)
+    conv_pos_batch_norm: bool = False
+    # wav2vec2 conv adapter (Wav2Vec2Config.add_adapter): a stack of
+    # stride-`adapter_stride` GLU convs after the encoder that downsamples
+    # the frame rate by adapter_stride**num_adapter_layers (the lm_head then
+    # reads output_hidden_size channels)
+    add_adapter: bool = False
+    adapter_kernel_size: int = 3
+    adapter_stride: int = 2
+    num_adapter_layers: int = 3
+    output_hidden_size: Optional[int] = None
+    # SEW / SEW-D compatibility (SEWConfig.squeeze_factor): the encoder runs
+    # at a squeeze_factor-pooled frame rate (avg-pool + strided pos-conv)
+    # and a linear upsampler restores the conv frame rate afterwards;
+    # detected from config.json model_type ("sew" sets encoder_style only,
+    # "sew-d" also sets attention_style="deberta")
+    encoder_style: str = "wav2vec2"  # "wav2vec2" | "sew"
+    squeeze_factor: int = 1
+    # SEW-D DeBERTa-v2 attention knobs (SEWDConfig); layer_norm_eps is 1e-7
+    # inside the SEW-D encoder while the feature path keeps 1e-5, hence the
+    # separate feature_layer_norm_eps (None = use layer_norm_eps)
+    feature_layer_norm_eps: Optional[float] = None
+    position_buckets: int = 256
+    max_position_embeddings: int = 512
+    share_att_key: bool = True
+    pos_att_type: tuple = ("p2c", "c2p")
+    norm_rel_ebd: str = "layer_norm"
 
     @classmethod
     def from_dict(cls, d: dict) -> "Wav2Vec2ModelConfig":
@@ -89,13 +119,29 @@ class Wav2Vec2ModelConfig:
                     "feat_extract_norm", "conv_bias", "feat_proj_layer_norm",
                     "pos_conv_style", "conv_pos_kernel_size",
                     "adapter_attn_dim", "attention_style", "num_buckets",
-                    "max_bucket_distance"]:
+                    "max_bucket_distance", "conv_pos_batch_norm",
+                    "add_adapter", "adapter_kernel_size", "adapter_stride",
+                    "num_adapter_layers", "output_hidden_size",
+                    "encoder_style", "squeeze_factor",
+                    "feature_layer_norm_eps", "position_buckets",
+                    "max_position_embeddings", "share_att_key",
+                    "norm_rel_ebd"]:
             if opt in d and d[opt] is not None:
                 kwargs[opt] = d[opt]
+        if "pos_att_type" in d and d["pos_att_type"] is not None:
+            kwargs["pos_att_type"] = tuple(d["pos_att_type"])
         if d.get("model_type") == "data2vec-audio":
             kwargs["pos_conv_style"] = "data2vec"
         if d.get("model_type") == "wavlm":
             kwargs["attention_style"] = "wavlm"
+        if d.get("model_type") in ("sew", "sew-d"):
+            kwargs["encoder_style"] = "sew"
+            kwargs.setdefault("squeeze_factor", 2)
+        if d.get("model_type") == "sew-d":
+            kwargs["attention_style"] = "deberta"
+            # SEWDConfig's feature-path norms keep their own epsilon (the
+            # encoder's layer_norm_eps is 1e-7)
+            kwargs.setdefault("feature_layer_norm_eps", 1e-5)
         return cls(**kwargs)
 
     @classmethod
@@ -112,19 +158,30 @@ class Wav2Vec2ModelConfig:
 
     def frame_stride_ms(self, sample_rate: int) -> float:
         """Frame stride in ms = product(conv_stride) / sample_rate * 1000
-        (reference: config.rs:72-75; = 20 ms for wav2vec2 at 16 kHz)."""
+        (reference: config.rs:72-75; = 20 ms for wav2vec2 at 16 kHz).
+
+        add_adapter models emit adapter_stride**num_adapter_layers-coarser
+        frames (the GLU conv stack downsamples after the encoder); SEW's
+        squeeze/upsample cancels out (the upsampler restores the conv rate).
+        """
         stride_samples = 1
         for s in self.conv_stride:
             stride_samples *= s
+        if self.add_adapter:
+            stride_samples *= self.adapter_stride ** self.num_adapter_layers
         return stride_samples / sample_rate * 1000.0
 
     def conv_output_length(self, num_samples: int) -> int:
-        """Number of output frames T produced by the conv feature extractor
-        for `num_samples` input samples (no padding, per conv layer:
-        floor((L - K)/stride) + 1)."""
+        """Number of output frames T produced by the model for `num_samples`
+        input samples (no padding, per conv layer: floor((L - K)/stride) + 1;
+        adapter layers use HF's (L - 1)//stride + 1, exact for their
+        kernel-3/pad-1 convs)."""
         length = num_samples
         for k, s in zip(self.conv_kernel, self.conv_stride):
             length = (length - k) // s + 1
+        if self.add_adapter:
+            for _ in range(self.num_adapter_layers):
+                length = (length - 1) // self.adapter_stride + 1
         return max(length, 0)
 
 

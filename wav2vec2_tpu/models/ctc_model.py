@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Wav2Vec2ModelConfig
-from .encoder import encoder_forward
+from .encoder import adapter_forward, encoder_forward, sew_encoder_forward
 from .feature_extractor import feature_extractor_forward, feature_projection_forward
 from .layers import linear
 
@@ -51,22 +51,47 @@ def wav2vec2_forward(
         )
 
         frame_mask = None
+        conv_lens = None
         if audio_lens is not None:
             t = hidden.shape[1]
-            frame_lens = frame_lengths(cfg, audio_lens)
-            frame_mask = jnp.arange(t)[None, :] < frame_lens[:, None]
+            conv_lens = conv_frame_lengths(cfg, audio_lens)
+            frame_mask = jnp.arange(t)[None, :] < conv_lens[:, None]
 
-        hidden = encoder_forward(params["encoder"], hidden, cfg, frame_mask=frame_mask)
+        if getattr(cfg, "encoder_style", "wav2vec2") == "sew":
+            hidden = sew_encoder_forward(
+                params["encoder"], hidden, cfg, frame_mask=frame_mask
+            )
+        else:
+            hidden = encoder_forward(
+                params["encoder"], hidden, cfg, frame_mask=frame_mask
+            )
+        if cfg.add_adapter:
+            hidden = adapter_forward(
+                params["adapter"], hidden, cfg, frame_lens=conv_lens
+            )
         logits = linear(hidden, params["lm_head"]["kernel"], params["lm_head"]["bias"])
         return logits.astype(jnp.float32)
 
 
-def frame_lengths(cfg: Wav2Vec2ModelConfig, audio_lens: jnp.ndarray) -> jnp.ndarray:
-    """Vector version of Wav2Vec2ModelConfig.conv_output_length."""
+def conv_frame_lengths(
+    cfg: Wav2Vec2ModelConfig, audio_lens: jnp.ndarray
+) -> jnp.ndarray:
+    """Feature-extractor output lengths (pre-adapter) — the rate the encoder
+    runs at, used for its frame mask."""
     lens = audio_lens
     for k, s in zip(cfg.conv_kernel, cfg.conv_stride):
         lens = (lens - k) // s + 1
     return jnp.maximum(lens, 0)
+
+
+def frame_lengths(cfg: Wav2Vec2ModelConfig, audio_lens: jnp.ndarray) -> jnp.ndarray:
+    """Vector version of Wav2Vec2ModelConfig.conv_output_length: the MODEL
+    output frame count (includes the add_adapter downsampling)."""
+    lens = conv_frame_lengths(cfg, audio_lens)
+    if getattr(cfg, "add_adapter", False):
+        for _ in range(cfg.num_adapter_layers):
+            lens = (lens - 1) // cfg.adapter_stride + 1
+    return lens
 
 
 def log_softmax_logits(logits: jnp.ndarray) -> jnp.ndarray:
@@ -120,6 +145,20 @@ class _FrozenCfg:
                 getattr(cfg, "attention_style", "wav2vec2"),
                 getattr(cfg, "num_buckets", 320),
                 getattr(cfg, "max_bucket_distance", 800),
+                getattr(cfg, "conv_pos_batch_norm", False),
+                getattr(cfg, "add_adapter", False),
+                getattr(cfg, "adapter_kernel_size", 3),
+                getattr(cfg, "adapter_stride", 2),
+                getattr(cfg, "num_adapter_layers", 3),
+                getattr(cfg, "output_hidden_size", None),
+                getattr(cfg, "encoder_style", "wav2vec2"),
+                getattr(cfg, "squeeze_factor", 1),
+                getattr(cfg, "feature_layer_norm_eps", None),
+                getattr(cfg, "position_buckets", 256),
+                getattr(cfg, "max_position_embeddings", 512),
+                getattr(cfg, "share_att_key", True),
+                tuple(getattr(cfg, "pos_att_type", ("p2c", "c2p"))),
+                getattr(cfg, "norm_rel_ebd", "layer_norm"),
             ),
         )
 

@@ -31,14 +31,19 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Wav2Vec2ModelConfig
-from .layers import gelu, layer_norm
+from .layers import gelu, layer_norm, linear
 from .quantize import linear_maybe_quantized
 
 
 def pos_conv_forward(
-    params: dict, x: jnp.ndarray, cfg: Wav2Vec2ModelConfig
+    params: dict,
+    x: jnp.ndarray,
+    cfg: Wav2Vec2ModelConfig,
+    frame_mask: jnp.ndarray | None = None,
+    stride: int = 1,
 ) -> jnp.ndarray:
-    """x: [B, T, H] → positional embeddings [B, T, H].
+    """x: [B, T, H] → positional embeddings [B, T, H] (or [B, ~T/stride, H]
+    for SEW's strided variant).
 
     Runs in NHC (channels-last) layout: [B, T, H] is already channels-last,
     so the grouped conv needs no activation transposes, and channels map to
@@ -48,16 +53,30 @@ def pos_conv_forward(
     (one small weight reshuffle, folded into the conv by XLA)."""
     seq_len = x.shape[1]
     pad = cfg.num_conv_pos_embeddings // 2
+    if "batch_norm" in params:
+        # conv_pos_batch_norm (mHuBERT-147): folded inference BatchNorm on
+        # the conv input. The affine shifts padded positions off zero, so
+        # they are re-masked to keep padded batch == unpadded forward (the
+        # unpadded conv sees its own zero padding there).
+        bn = params["batch_norm"]
+        x = x * bn["scale"].astype(x.dtype) + bn["shift"].astype(x.dtype)
+        if frame_mask is not None:
+            x = x * frame_mask[:, :, None].astype(x.dtype)
     w = params["weight"].transpose(2, 1, 0).astype(x.dtype)  # [K, I/G, O]
     h = jax.lax.conv_general_dilated(
         x,
         w,
-        window_strides=(1,),
+        window_strides=(stride,),
         padding=[(pad, pad)],
         dimension_numbers=("NHC", "HIO", "NHC"),
         feature_group_count=cfg.num_conv_pos_embedding_groups,
     )
-    h = h[:, :seq_len, :]  # narrow back (even kernel produces T+1)
+    if cfg.num_conv_pos_embeddings % 2 == 0:
+        # SamePad: an even kernel with pad=K/2 produces one extra output
+        # position; torch drops the LAST one (for stride=1 this equals
+        # narrowing back to seq_len)
+        h = h[:, :-1, :]
+    assert stride > 1 or h.shape[1] == seq_len
     h = h + params["bias"].astype(x.dtype)
     return gelu(h)
 
@@ -248,6 +267,257 @@ def _encoder_layer(
     return y
 
 
+def _deberta_log_bucket_positions(
+    t: int, bucket_size: int, max_position: int
+):
+    """DeBERTa-v2 signed log-bucketed relative positions [T, T] (transformers
+    build_relative_position/make_log_bucket_position parity). Shape-only
+    data — computed host-side in numpy at trace time."""
+    import numpy as np
+
+    rel = np.arange(t)[:, None] - np.arange(t)[None, :]
+    mid = bucket_size // 2
+    abs_pos = np.where(
+        (rel < mid) & (rel > -mid), float(mid - 1), np.abs(rel).astype(np.float64)
+    )
+    with np.errstate(divide="ignore"):
+        log_pos = (
+            np.ceil(
+                np.log(abs_pos / mid) / np.log((max_position - 1) / mid)
+                * (mid - 1)
+            )
+            + mid
+        )
+    bucket = np.where(abs_pos <= mid, rel.astype(np.float64),
+                      log_pos * np.sign(rel))
+    return bucket.astype(np.int64)
+
+
+def sew_d_layers_forward(
+    params: dict,
+    h: jnp.ndarray,
+    cfg: Wav2Vec2ModelConfig,
+    mask_bias: jnp.ndarray | None,
+) -> jnp.ndarray:
+    """SEW-D transformer stack (transformers SEWDTransformerEncoder /
+    DisentangledSelfAttention parity): post-norm BERT layers whose attention
+    adds DeBERTa-v2 content→position (c2p) and position→content (p2c) biases
+    computed from a shared LayerNormed relative-position embedding, with
+    share_att_key=True (the layer's own query/key projections embed the
+    positions). Scores are scaled by sqrt(head_dim · (1 + |pos_att_type|)).
+
+    TPU notes: the [T, T] bucket table is static (numpy at trace time); the
+    c2p/p2c gathers over the [B, H, T, 2·buckets] bias tensors use advanced
+    indexing (one XLA gather each); layers are stacked and scanned like the
+    wav2vec2 encoder.
+    """
+    import numpy as np
+
+    if not getattr(cfg, "share_att_key", True):
+        raise NotImplementedError(
+            "SEW-D with share_att_key=false (separate pos_key/pos_query "
+            "projections) is not supported; all released SEW-D checkpoints "
+            "share the attention keys"
+        )
+    t = h.shape[1]
+    nh = cfg.num_attention_heads
+    hd = cfg.hidden_size // nh
+    span = cfg.position_buckets
+    pos_att = tuple(getattr(cfg, "pos_att_type", ("p2c", "c2p")))
+    scale_factor = 1 + len(pos_att)
+    scale = jnp.float32((hd * scale_factor) ** 0.5)
+
+    rel_pos = _deberta_log_bucket_positions(
+        t, span, cfg.max_position_embeddings
+    )
+    c2p_idx = jnp.asarray(np.clip(rel_pos + span, 0, 2 * span - 1))
+    p2c_idx = jnp.asarray(np.clip(-rel_pos + span, 0, 2 * span - 1))
+    row = jnp.arange(t)[:, None]
+
+    rel_emb = params["rel_embeddings"].astype(jnp.float32)  # [2S, H]
+    if "rel_embeddings_layer_norm" in params:
+        ln = params["rel_embeddings_layer_norm"]
+        rel_emb = layer_norm(rel_emb, ln["weight"], ln["bias"],
+                             cfg.layer_norm_eps)
+    rel_emb = rel_emb.astype(h.dtype)
+
+    def split_heads(y):  # [..., T, H] -> [..., H_heads, T, hd]
+        return y.reshape(*y.shape[:-1], nh, hd).swapaxes(-3, -2)
+
+    eps = cfg.layer_norm_eps
+
+    def one_layer(x, lp):
+        a = lp["attention"]
+        qh = split_heads(linear(x, a["query_proj"]["kernel"],
+                                a["query_proj"]["bias"]))
+        kh = split_heads(linear(x, a["key_proj"]["kernel"],
+                                a["key_proj"]["bias"]))
+        vh = split_heads(linear(x, a["value_proj"]["kernel"],
+                                a["value_proj"]["bias"]))
+        # content-content, with the key pre-divided by the full scale
+        # (torch op order, kept for f32 bit-closeness)
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", qh, kh / scale.astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        # share_att_key: the positions go through this layer's own q/k
+        # projections
+        pos_k = split_heads(linear(rel_emb, a["key_proj"]["kernel"],
+                                   a["key_proj"]["bias"]))  # [H, 2S, hd]
+        pos_q = split_heads(linear(rel_emb, a["query_proj"]["kernel"],
+                                   a["query_proj"]["bias"]))
+        if "c2p" in pos_att:
+            c2p = jnp.einsum("bhqd,hsd->bhqs", qh, pos_k,
+                             preferred_element_type=jnp.float32)
+            c2p = c2p[:, :, row, c2p_idx]  # [B, H, T(q), T(k)]
+            scores = scores + c2p / scale
+        if "p2c" in pos_att:
+            p2c = jnp.einsum("bhkd,hsd->bhks", kh, pos_q,
+                             preferred_element_type=jnp.float32)
+            p2c = p2c[:, :, row, p2c_idx]  # [B, H, T(k), T(q)]
+            scores = scores + p2c.swapaxes(-1, -2) / scale
+        if mask_bias is not None:
+            scores = scores + mask_bias
+        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(x.dtype), vh,
+                         preferred_element_type=x.dtype)
+        out = out.swapaxes(-3, -2).reshape(x.shape)
+        out = linear(out, a["output_dense"]["kernel"],
+                     a["output_dense"]["bias"])
+        x = layer_norm(out + x, a["output_norm"]["weight"],
+                       a["output_norm"]["bias"], eps)
+        up = gelu(linear(x, lp["intermediate_dense"]["kernel"],
+                         lp["intermediate_dense"]["bias"]))
+        down = linear(up, lp["output_dense"]["kernel"],
+                      lp["output_dense"]["bias"])
+        return layer_norm(down + x, lp["output_norm"]["weight"],
+                          lp["output_norm"]["bias"], eps)
+
+    def scan_body(x, lp):
+        return one_layer(x, lp), None
+
+    h, _ = jax.lax.scan(scan_body, h, params["layers"])
+    return h
+
+
+def sew_encoder_forward(
+    params: dict,
+    x: jnp.ndarray,
+    cfg: Wav2Vec2ModelConfig,
+    frame_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """SEW / SEW-D squeezed encoder (transformers SEWEncoder / SEWDEncoder
+    parity): positional conv with stride=squeeze_factor + avg-pooled hidden
+    states are added at the pooled rate, the transformer runs at that rate,
+    and a linear upsampler (H → H·sf, GELU, fold channels into time)
+    restores the conv frame rate, zero-padding the tail back to T.
+
+    x: [B, T, H] → [B, T, H]. SEW runs wav2vec2's post-norm layers;
+    SEW-D (cfg.attention_style == "deberta") runs DeBERTa-v2 disentangled-
+    attention layers (sew_d_layers_forward).
+
+    Padded batches: pooled lengths are conv_len // sf (the HF formula);
+    encoder output at pooled positions beyond them is junk (attention only
+    masks KEYS), and those positions map exactly onto upsampled frames at or
+    beyond pooled_len·sf — zeroing those frames removes the junk AND mirrors
+    the zeros torch's F.pad appends in the unpadded run.
+    """
+    sf = cfg.squeeze_factor
+    b, t_in, h_dim = x.shape
+    if frame_mask is not None:
+        x = x * frame_mask[:, :, None].astype(x.dtype)
+
+    pos = pos_conv_forward(params["pos_conv_embed"], x, cfg, stride=sf)
+    t_pool = t_in // sf
+    pooled = x[:, : t_pool * sf, :].reshape(b, t_pool, sf, h_dim)
+    pooled = jnp.mean(pooled.astype(jnp.float32), axis=2).astype(x.dtype)
+    min_len = min(pos.shape[1], t_pool)
+    h = pooled[:, :min_len] + pos[:, :min_len]
+
+    enc_lens = None
+    mask_bias = None
+    if frame_mask is not None:
+        enc_lens = jnp.sum(frame_mask.astype(jnp.int32), axis=1) // sf
+        enc_valid = jnp.arange(min_len)[None, :] < enc_lens[:, None]
+        mask_bias = jnp.where(
+            enc_valid[:, None, None, :], 0.0, -jnp.inf
+        ).astype(jnp.float32)
+
+    if getattr(cfg, "attention_style", "wav2vec2") == "deberta":
+        h = sew_d_layers_forward(params, h, cfg, mask_bias)
+    else:
+        h = layer_norm(
+            h, params["layer_norm"]["weight"], params["layer_norm"]["bias"],
+            cfg.layer_norm_eps,
+        )
+
+        def scan_body(hh, lp):
+            return _encoder_layer(lp, hh, mask_bias, cfg), None
+
+        h, _ = jax.lax.scan(scan_body, h, params["layers"])
+
+    up = params["upsample"]["projection"]
+    h = gelu(linear(h, up["kernel"], up["bias"]))  # [B, t_enc, H*sf]
+    h = h.reshape(b, min_len * sf, h.shape[-1] // sf)
+    if enc_lens is not None:
+        valid = jnp.arange(h.shape[1])[None, :] < (enc_lens * sf)[:, None]
+        h = h * valid[:, :, None].astype(h.dtype)
+    if h.shape[1] < t_in:
+        h = jnp.pad(h, ((0, 0), (0, t_in - h.shape[1]), (0, 0)))
+    return h
+
+
+def adapter_forward(
+    params: dict,
+    x: jnp.ndarray,
+    cfg: Wav2Vec2ModelConfig,
+    frame_lens: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """wav2vec2 conv adapter (transformers Wav2Vec2Adapter parity,
+    add_adapter=true): optional down-projection + LayerNorm, then
+    num_adapter_layers kernel-`adapter_kernel_size` pad-1
+    stride-`adapter_stride` convs with a GLU over channels — each layer
+    downsamples the frame rate by adapter_stride.
+
+    x: [B, T, H] encoder output → [B, T', O] with
+    T' = T after num_adapter_layers applications of (T-1)//stride + 1.
+
+    `frame_lens` [B] keeps padded batches exact: padded frames are re-zeroed
+    before every conv so its taps see the zeros the unpadded conv's own
+    padding would provide.
+    """
+    if "proj" in params:
+        x = linear(x, params["proj"]["kernel"], params["proj"]["bias"])
+        ln = params["proj_layer_norm"]
+        # torch nn.LayerNorm default eps (the adapter does not read
+        # config.layer_norm_eps)
+        x = layer_norm(x, ln["weight"], ln["bias"], 1e-5)
+
+    lens = frame_lens
+
+    def mask(z, lens):
+        valid = jnp.arange(z.shape[1])[None, :] < lens[:, None]
+        return z * valid[:, :, None].astype(z.dtype)
+
+    if lens is not None:
+        x = mask(x, lens)
+    convs = params["layers"]
+    for i in range(convs["weight"].shape[0]):
+        w = convs["weight"][i].transpose(2, 1, 0).astype(x.dtype)  # [K, O, 2O]
+        x = jax.lax.conv_general_dilated(
+            x, w, window_strides=(cfg.adapter_stride,), padding=[(1, 1)],
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )
+        x = x + convs["bias"][i].astype(x.dtype)
+        o = x.shape[-1] // 2
+        gate = jax.nn.sigmoid(x[..., o:].astype(jnp.float32)).astype(x.dtype)
+        x = x[..., :o] * gate
+        if lens is not None:
+            lens = (lens - 1) // cfg.adapter_stride + 1
+            x = mask(x, lens)
+    return x
+
+
 def encoder_forward(
     params: dict,
     x: jnp.ndarray,
@@ -271,7 +541,7 @@ def encoder_forward(
             params["pos_conv_embed"], x, cfg, frame_mask
         )
     else:
-        x = x + pos_conv_forward(params["pos_conv_embed"], x, cfg)
+        x = x + pos_conv_forward(params["pos_conv_embed"], x, cfg, frame_mask)
     enc_ln = params["layer_norm"]
     if not cfg.do_stable_layer_norm:
         x = layer_norm(x, enc_ln["weight"], enc_ln["bias"], cfg.layer_norm_eps)

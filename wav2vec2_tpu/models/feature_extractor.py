@@ -34,6 +34,10 @@ def feature_extractor_forward(
     """
     x = audio[:, None, :]  # [B, 1, N]
     lens = audio_lens
+    # SEW-D keeps 1e-5 norms in the feature path while its encoder runs at
+    # 1e-7 (SEWDConfig.feature_layer_norm_eps); every other family has one
+    # epsilon for both
+    eps = getattr(cfg, "feature_layer_norm_eps", None) or cfg.layer_norm_eps
     for i, (out_c, k, s) in enumerate(
         zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride)
     ):
@@ -50,13 +54,13 @@ def feature_extractor_forward(
         if cfg.feat_extract_norm == "layer":
             ln = layer["layer_norm"]
             x = layer_norm(
-                x.transpose(0, 2, 1), ln["weight"], ln["bias"], cfg.layer_norm_eps
+                x.transpose(0, 2, 1), ln["weight"], ln["bias"], eps
             ).transpose(0, 2, 1)
         elif cfg.feat_extract_norm == "group" and i == 0:
             gn = layer["layer_norm"]
             x = group_norm_1d(
                 x, gn["weight"], gn["bias"],
-                num_groups=out_c, eps=cfg.layer_norm_eps, time_mask=time_mask,
+                num_groups=out_c, eps=eps, time_mask=time_mask,
             )
         x = gelu(x)
     return x
@@ -67,9 +71,14 @@ def feature_projection_forward(
 ) -> jnp.ndarray:
     """features [B, T, C_last] → hidden [B, T, H]. The pre-projection
     LayerNorm is skipped for HuBERT configs with feat_proj_layer_norm=false
-    (transformers HubertFeatureProjection parity)."""
+    (transformers HubertFeatureProjection parity); SEW/SEW-D instead skip
+    the PROJECTION when conv_dim[-1] == hidden_size (SEWModel
+    project_features) and norm with feature_layer_norm_eps."""
     x = features
+    eps = getattr(cfg, "feature_layer_norm_eps", None) or cfg.layer_norm_eps
     if "layer_norm" in params:
         ln = params["layer_norm"]
-        x = layer_norm(x, ln["weight"], ln["bias"], cfg.layer_norm_eps)
-    return linear(x, params["projection"]["kernel"], params["projection"]["bias"])
+        x = layer_norm(x, ln["weight"], ln["bias"], eps)
+    if "projection" in params:
+        x = linear(x, params["projection"]["kernel"], params["projection"]["bias"])
+    return x

@@ -87,6 +87,11 @@ def init_params(
             ).astype(dtype),
             "bias": jnp.zeros((h,), dtype),
         }
+        if getattr(cfg, "conv_pos_batch_norm", False):
+            pos_conv["batch_norm"] = {
+                "scale": jnp.ones((h,), dtype),
+                "shift": jnp.zeros((h,), dtype),
+            }
 
     def enc_layer():
         layer = {
@@ -115,18 +120,38 @@ def init_params(
             layer["attention"]["gru_rel_pos_linear"] = dense(hd, 8)
         return layer
 
-    layers = [enc_layer() for _ in range(cfg.num_hidden_layers)]
+    def sewd_enc_layer():
+        return {
+            "attention": {
+                "query_proj": dense(h, h), "key_proj": dense(h, h),
+                "value_proj": dense(h, h), "output_dense": dense(h, h),
+                "output_norm": ln(h),
+            },
+            "intermediate_dense": dense(h, ffn),
+            "output_dense": dense(ffn, h),
+            "output_norm": ln(h),
+        }
+
+    deberta = getattr(cfg, "attention_style", "wav2vec2") == "deberta"
+    layer_builder = sewd_enc_layer if deberta else enc_layer
+    layers = [layer_builder() for _ in range(cfg.num_hidden_layers)]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
 
-    feature_projection = {"projection": dense(cfg.conv_dim[-1], h)}
-    if cfg.feat_proj_layer_norm:
-        feature_projection["layer_norm"] = ln(cfg.conv_dim[-1])
-    return {
+    if getattr(cfg, "encoder_style", "wav2vec2") == "sew":
+        feature_projection = {"layer_norm": ln(cfg.conv_dim[-1])}
+        if cfg.conv_dim[-1] != h:
+            feature_projection["projection"] = dense(cfg.conv_dim[-1], h)
+    else:
+        feature_projection = {"projection": dense(cfg.conv_dim[-1], h)}
+        if cfg.feat_proj_layer_norm:
+            feature_projection["layer_norm"] = ln(cfg.conv_dim[-1])
+    tree = {
         "feature_extractor": {"conv_layers": conv_layers},
         "feature_projection": feature_projection,
         "encoder": {
             "pos_conv_embed": pos_conv,
-            "layer_norm": ln(h),
+            # SEW-D's DeBERTa encoder has no encoder-level LayerNorm
+            **({} if deberta else {"layer_norm": ln(h)}),
             "layers": stacked,
             **({"rel_attn_embed": (
                 jax.random.normal(
@@ -135,9 +160,38 @@ def init_params(
             ).astype(dtype)}
                if getattr(cfg, "attention_style", "wav2vec2") == "wavlm"
                else {}),
+            **({"upsample": {"projection": dense(
+                h, h * cfg.squeeze_factor)}}
+               if getattr(cfg, "encoder_style", "wav2vec2") == "sew"
+               else {}),
+            **({"rel_embeddings": (
+                jax.random.normal(
+                    next(k_it), (2 * cfg.position_buckets, h)
+                ) * 0.02
+            ).astype(dtype),
+                "rel_embeddings_layer_norm": ln(h)}
+               if deberta else {}),
         },
         "lm_head": dense(h, cfg.vocab_size),
     }
+    if getattr(cfg, "add_adapter", False):
+        out_h = cfg.output_hidden_size or h
+        k = cfg.adapter_kernel_size
+        adapter = {}
+        if out_h != h:
+            adapter["proj"] = dense(h, out_h)
+            adapter["proj_layer_norm"] = ln(out_h)
+        adapter["layers"] = {
+            "weight": (
+                jax.random.normal(
+                    next(k_it), (cfg.num_adapter_layers, 2 * out_h, out_h, k)
+                ) * (1.0 / (out_h * k)) ** 0.5
+            ).astype(dtype),
+            "bias": jnp.zeros((cfg.num_adapter_layers, 2 * out_h), dtype),
+        }
+        tree["adapter"] = adapter
+        tree["lm_head"] = dense(out_h, cfg.vocab_size)
+    return tree
 
 
 def _key_iter(rng):
@@ -179,12 +233,10 @@ def params_from_flat_dict(
             name = "wav2vec2." + name[len("data2vec_audio."):]
         elif name.startswith("wavlm."):
             name = "wav2vec2." + name[len("wavlm."):]
-        if ".pos_conv_embed.batch_norm." in name:
-            raise RuntimeBackendError(
-                "load weights",
-                "conv_pos_batch_norm=true checkpoints (batch-norm positional "
-                "conv) are not supported; export with weight-norm pos-conv",
-            )
+        elif name.startswith("sew_d."):
+            name = "wav2vec2." + name[len("sew_d."):]
+        elif name.startswith("sew."):
+            name = "wav2vec2." + name[len("sew."):]
         t[_POS_CONV_ALIASES.get(name, name)] = np.asarray(arr)
 
     def get(name):
@@ -233,6 +285,21 @@ def params_from_flat_dict(
         else:
             pos_weight = get(pos_p + ".weight")
         pos_conv = {"weight": pos_weight, "bias": get(pos_p + ".bias")}
+        bn_p = "wav2vec2.encoder.pos_conv_embed.batch_norm"
+        if has(bn_p + ".running_mean"):
+            # conv_pos_batch_norm (mHuBERT-147 style): inference-mode
+            # BatchNorm1d on the conv INPUT is a per-channel affine of the
+            # running stats — folded here so the graph stays one conv
+            # (HubertPositionalConvEmbedding parity; torch BN eps = 1e-5)
+            gamma = get(bn_p + ".weight")
+            beta = get(bn_p + ".bias")
+            mean = get(bn_p + ".running_mean")
+            var = get(bn_p + ".running_var")
+            scale = gamma / np.sqrt(var + 1e-5)
+            pos_conv["batch_norm"] = {
+                "scale": scale.astype(dtype),
+                "shift": (beta - mean * scale).astype(dtype),
+            }
 
     def enc_layer(i):
         p = f"wav2vec2.encoder.layers.{i}"
@@ -265,22 +332,61 @@ def params_from_flat_dict(
             )
         return layer
 
-    layers = [enc_layer(i) for i in range(cfg.num_hidden_layers)]
+    def sewd_layer(i):
+        # SEW-D DeBERTa layer (sew_d.encoder.encoder.layer.N.*)
+        p = f"wav2vec2.encoder.encoder.layer.{i}"
+        return {
+            "attention": {
+                "query_proj": dense(p + ".attention.self.query_proj"),
+                "key_proj": dense(p + ".attention.self.key_proj"),
+                "value_proj": dense(p + ".attention.self.value_proj"),
+                "output_dense": dense(p + ".attention.output.dense"),
+                "output_norm": ln(p + ".attention.output.LayerNorm"),
+            },
+            "intermediate_dense": dense(p + ".intermediate.dense"),
+            "output_dense": dense(p + ".output.dense"),
+            "output_norm": ln(p + ".output.LayerNorm"),
+        }
+
+    deberta = getattr(cfg, "attention_style", "wav2vec2") == "deberta"
+    if deberta and has("wav2vec2.encoder.encoder.conv.conv.weight"):
+        raise RuntimeBackendError(
+            "load weights",
+            "SEW-D checkpoints with a DeBERTa ConvLayer (conv_kernel_size>0) "
+            "are not supported; no released SEW-D speech checkpoint uses one",
+        )
+    layer_builder = sewd_layer if deberta else enc_layer
+    layers = [layer_builder(i) for i in range(cfg.num_hidden_layers)]
     stacked = jax.tree.map(lambda *xs: np.stack(xs), *layers)
 
-    tree = {
-        "feature_extractor": {"conv_layers": conv_layers},
-        "feature_projection": {
+    if getattr(cfg, "encoder_style", "wav2vec2") == "sew":
+        # SEW/SEW-D: the post-extractor LayerNorm is a MODEL-level tensor
+        # (sew.layer_norm) and the projection is a bare Linear present only
+        # when conv_dim[-1] != hidden_size (SEWModel.project_features)
+        feature_projection = {"layer_norm": ln("wav2vec2.layer_norm")}
+        if cfg.conv_dim[-1] != cfg.hidden_size:
+            feature_projection["projection"] = dense(
+                "wav2vec2.feature_projection")
+    else:
+        feature_projection = {
             # gated by CONFIG, not tensor presence: a checkpoint missing a
             # required projection LN must fail loudly (get raises), not
             # silently skip the norm
             **({"layer_norm": ln("wav2vec2.feature_projection.layer_norm")}
                if getattr(cfg, "feat_proj_layer_norm", True) else {}),
             "projection": dense("wav2vec2.feature_projection.projection"),
-        },
+        }
+    tree = {
+        "feature_extractor": {"conv_layers": conv_layers},
+        "feature_projection": feature_projection,
         "encoder": {
             "pos_conv_embed": pos_conv,
-            "layer_norm": ln("wav2vec2.encoder.layer_norm"),
+            # required for every family except SEW-D (its DeBERTa encoder
+            # has no encoder-level LayerNorm) — config-gated so a broken
+            # checkpoint fails loudly instead of silently skipping the norm
+            **({"layer_norm": ln("wav2vec2.encoder.layer_norm")}
+               if getattr(cfg, "attention_style", "wav2vec2") != "deberta"
+               else {}),
             "layers": stacked,
             # WavLM: layer 0 owns the shared bucketed bias embedding; it is
             # lifted to the encoder level so the layer stack stays uniform
@@ -289,9 +395,38 @@ def params_from_flat_dict(
                 "wav2vec2.encoder.layers.0.attention.rel_attn_embed.weight")}
                if has("wav2vec2.encoder.layers.0.attention.rel_attn_embed.weight")
                else {}),
+            # SEW/SEW-D upsampler back to the conv frame rate
+            **({"upsample": {"projection": dense(
+                "wav2vec2.encoder.upsample.projection")}}
+               if has("wav2vec2.encoder.upsample.projection.weight") else {}),
+            # SEW-D shared relative-position embedding (+ its LayerNorm when
+            # norm_rel_ebd includes layer_norm)
+            **({"rel_embeddings": get(
+                "wav2vec2.encoder.encoder.rel_embeddings.weight")}
+               if deberta else {}),
+            **({"rel_embeddings_layer_norm": ln(
+                "wav2vec2.encoder.encoder.LayerNorm")}
+               if deberta and "layer_norm" in
+               getattr(cfg, "norm_rel_ebd", "layer_norm") else {}),
         },
         "lm_head": dense("lm_head"),
     }
+    if has("wav2vec2.adapter.layers.0.conv.weight"):
+        # add_adapter GLU conv stack (transformers Wav2Vec2Adapter); layers
+        # stacked on a leading L axis like the encoder layers
+        adapter = {}
+        if has("wav2vec2.adapter.proj.weight"):
+            adapter["proj"] = dense("wav2vec2.adapter.proj")
+            adapter["proj_layer_norm"] = ln("wav2vec2.adapter.proj_layer_norm")
+        convs = []
+        i = 0
+        while has(f"wav2vec2.adapter.layers.{i}.conv.weight"):
+            p = f"wav2vec2.adapter.layers.{i}.conv"
+            convs.append({"weight": get(p + ".weight"),
+                          "bias": get(p + ".bias")})
+            i += 1
+        adapter["layers"] = jax.tree.map(lambda *xs: np.stack(xs), *convs)
+        tree["adapter"] = adapter
     if compute_weights_dtype is not None:
         # cast HOST-side so the single device_put ships the small dtype
         # (casting after upload would transfer f32 and transiently hold

@@ -139,6 +139,81 @@ def wavlm_large(vocab_size: int = 32) -> Wav2Vec2ModelConfig:
     )
 
 
+def mhubert_147(vocab_size: int = 32) -> Wav2Vec2ModelConfig:
+    """utter-project/mHuBERT-147 fine-tunes: hubert-base geometry with
+    conv_pos_batch_norm=true (inference BatchNorm on the pos-conv input,
+    folded to a per-channel affine at load — models/params.py)."""
+    return Wav2Vec2ModelConfig.from_dict(
+        dict(
+            hidden_size=768, num_hidden_layers=12, num_attention_heads=12,
+            intermediate_size=3072, conv_dim=[512] * 7, **_CONV_7,
+            pad_token_id=0, vocab_size=vocab_size,
+            do_stable_layer_norm=False, feat_extract_norm="group",
+            conv_bias=False, feat_proj_layer_norm=True,
+            conv_pos_batch_norm=True,
+        )
+    )
+
+
+def wav2vec2_large_adapter(vocab_size: int = 32) -> Wav2Vec2ModelConfig:
+    """XLS-R-style add_adapter=true head: -large geometry + the HF-default
+    GLU conv adapter (kernel 3, stride 2, 3 layers) downsampling the output
+    frame rate 8x to 160 ms."""
+    return Wav2Vec2ModelConfig.from_dict(
+        dict(
+            hidden_size=1024, num_hidden_layers=24, num_attention_heads=16,
+            intermediate_size=4096, conv_dim=[512] * 7, **_CONV_7,
+            pad_token_id=0, vocab_size=vocab_size,
+            do_stable_layer_norm=True, feat_extract_norm="layer",
+            conv_bias=True, add_adapter=True, adapter_kernel_size=3,
+            adapter_stride=2, num_adapter_layers=3,
+        )
+    )
+
+
+_SEW_FE = dict(
+    # SEW's 13-layer mixed-stride extractor (transformers SEWConfig
+    # defaults; the asapp CTC fine-tunes keep this structure)
+    conv_dim=[64, 128, 128, 128, 128, 256, 256, 256, 256, 512, 512, 512, 512],
+    conv_kernel=[10, 3, 1, 3, 1, 3, 1, 3, 1, 2, 1, 2, 1],
+    conv_stride=[5, 2, 1, 2, 1, 2, 1, 2, 1, 2, 1, 2, 1],
+    num_conv_pos_embeddings=128,
+    num_conv_pos_embedding_groups=16,
+)
+
+
+def sew_base(vocab_size: int = 32) -> Wav2Vec2ModelConfig:
+    """SEW (squeezed encoder, transformers SEWConfig defaults): the encoder
+    runs at a squeeze_factor=2-pooled frame rate and a linear upsampler
+    restores the 20 ms conv rate."""
+    return Wav2Vec2ModelConfig.from_dict(
+        dict(
+            hidden_size=768, num_hidden_layers=12, num_attention_heads=12,
+            intermediate_size=3072, **_SEW_FE,
+            pad_token_id=0, vocab_size=vocab_size,
+            do_stable_layer_norm=False, feat_extract_norm="group",
+            conv_bias=False, model_type="sew", squeeze_factor=2,
+        )
+    )
+
+
+def sew_d_base(vocab_size: int = 32) -> Wav2Vec2ModelConfig:
+    """SEW-D (transformers SEWDConfig defaults): SEW's squeeze plumbing +
+    DeBERTa-v2 disentangled attention; encoder layer_norm_eps 1e-7 while
+    the feature path keeps 1e-5."""
+    return Wav2Vec2ModelConfig.from_dict(
+        dict(
+            hidden_size=768, num_hidden_layers=12, num_attention_heads=12,
+            intermediate_size=3072, **_SEW_FE,
+            pad_token_id=0, vocab_size=vocab_size,
+            do_stable_layer_norm=False, feat_extract_norm="group",
+            conv_bias=False, model_type="sew-d", squeeze_factor=2,
+            layer_norm_eps=1e-7, position_buckets=256,
+            max_position_embeddings=512,
+        )
+    )
+
+
 PRESETS = {
     "wav2vec2-base-960h": wav2vec2_base_960h,
     "wav2vec2-large-960h-lv60": wav2vec2_large_960h_lv60,
@@ -149,4 +224,8 @@ PRESETS = {
     "mms-1b": mms_1b,
     "wavlm-base-plus": wavlm_base_plus,
     "wavlm-large": wavlm_large,
+    "mhubert-147": mhubert_147,
+    "wav2vec2-large-adapter": wav2vec2_large_adapter,
+    "sew-base": sew_base,
+    "sew-d-base": sew_d_base,
 }

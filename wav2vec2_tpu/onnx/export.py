@@ -12,9 +12,11 @@ onnxruntime AND under the in-repo numpy evaluator
 
 Supported: the wav2vec2/HuBERT graph family — both norm orders
 (do_stable_layer_norm), both feat_extract_norm modes, optional conv bias,
-optional feature-projection LayerNorm. WavLM's gated rel-pos attention and
-data2vec's pos-conv stack are declined with a clear error (the reference
-exporter covered plain wav2vec2 CTC models only).
+optional feature-projection LayerNorm, folded batch-norm pos-conv
+(conv_pos_batch_norm). WavLM's gated rel-pos attention, data2vec's
+pos-conv stack, SEW's squeezed encoder, and add_adapter conv stacks are
+declined with a clear error (the reference exporter covered plain
+wav2vec2 CTC models only); the XLA backend serves those families.
 
 Precision: f32 (the reference's default; its fp16 export existed solely to
 work around a cuDNN pos-conv engine failure — not applicable here).
@@ -115,6 +117,16 @@ def export_ctc_model(cfg: Wav2Vec2ModelConfig, params: dict) -> Model:
             "onnx export", "MMS attention adapters are not part of the ONNX "
             "export surface; use the XLA backend for MMS"
         )
+    if getattr(cfg, "encoder_style", "wav2vec2") != "wav2vec2":
+        raise RuntimeBackendError(
+            "onnx export", "SEW/SEW-D squeezed encoders are not part of the "
+            "ONNX export surface; use the XLA backend for SEW"
+        )
+    if getattr(cfg, "add_adapter", False):
+        raise RuntimeBackendError(
+            "onnx export", "add_adapter conv stacks are not part of the ONNX "
+            "export surface; use the XLA backend for adapter checkpoints"
+        )
 
     g = _GraphBuilder()
     eps = float(cfg.layer_norm_eps)
@@ -166,7 +178,19 @@ def export_ctc_model(cfg: Wav2Vec2ModelConfig, params: dict) -> Model:
     enc = params["encoder"]
     pce = enc["pos_conv_embed"]
     pad = cfg.num_conv_pos_embeddings // 2
-    pc_in = g.op("Transpose", [x], perm=[0, 2, 1])  # [B, H, T]
+    pc_src = x
+    if "batch_norm" in pce:
+        # conv_pos_batch_norm (mHuBERT-147): the folded inference BatchNorm
+        # is a per-channel affine on the conv input (models/params.py)
+        pc_src = g.op(
+            "Add",
+            [g.op("Mul", [x, g.tensor(
+                "encoder.pos_conv_embed.batch_norm.scale",
+                np.asarray(pce["batch_norm"]["scale"], np.float32))]),
+             g.tensor("encoder.pos_conv_embed.batch_norm.shift",
+                      np.asarray(pce["batch_norm"]["shift"], np.float32))],
+        )
+    pc_in = g.op("Transpose", [pc_src], perm=[0, 2, 1])  # [B, H, T]
     pc = g.op(
         "Conv",
         [pc_in,

@@ -48,6 +48,7 @@ def hf_weight_prefix(cfg, family: str | None = None) -> str:
         prefixes = {
             "wav2vec2": "wav2vec2", "hubert": "hubert",
             "data2vec-audio": "data2vec_audio", "wavlm": "wavlm",
+            "sew": "sew", "sew-d": "sew_d",
         }
         if family not in prefixes:
             raise ValueError(
@@ -55,6 +56,10 @@ def hf_weight_prefix(cfg, family: str | None = None) -> str:
                 f"{sorted(prefixes)})"
             )
         return prefixes[family]
+    if getattr(cfg, "encoder_style", "wav2vec2") == "sew":
+        if getattr(cfg, "attention_style", "wav2vec2") == "deberta":
+            return "sew_d"
+        return "sew"
     if getattr(cfg, "attention_style", "wav2vec2") == "wavlm":
         return "wavlm"
     if getattr(cfg, "pos_conv_style", "wav2vec2") == "data2vec":
@@ -90,12 +95,26 @@ def params_to_hf_flat_dict(
             put(p + ".layer_norm.bias", layer["layer_norm"]["bias"])
 
     fp = params["feature_projection"]
-    if "layer_norm" in fp:  # absent for HuBERT feat_proj_layer_norm=false
-        put(f"{root}.feature_projection.layer_norm.weight", fp["layer_norm"]["weight"])
-        put(f"{root}.feature_projection.layer_norm.bias", fp["layer_norm"]["bias"])
-    put(f"{root}.feature_projection.projection.weight",
-        np.asarray(fp["projection"]["kernel"]).T)
-    put(f"{root}.feature_projection.projection.bias", fp["projection"]["bias"])
+    if getattr(cfg, "encoder_style", "wav2vec2") == "sew":
+        # SEW/SEW-D: the post-extractor LayerNorm is a model-level tensor
+        # and the projection is a bare Linear present only when
+        # conv_dim[-1] != hidden_size (SEWModel.project_features)
+        put(f"{root}.layer_norm.weight", fp["layer_norm"]["weight"])
+        put(f"{root}.layer_norm.bias", fp["layer_norm"]["bias"])
+        if "projection" in fp:
+            put(f"{root}.feature_projection.weight",
+                np.asarray(fp["projection"]["kernel"]).T)
+            put(f"{root}.feature_projection.bias", fp["projection"]["bias"])
+    else:
+        if "layer_norm" in fp:  # absent for HuBERT feat_proj_layer_norm=false
+            put(f"{root}.feature_projection.layer_norm.weight",
+                fp["layer_norm"]["weight"])
+            put(f"{root}.feature_projection.layer_norm.bias",
+                fp["layer_norm"]["bias"])
+        put(f"{root}.feature_projection.projection.weight",
+            np.asarray(fp["projection"]["kernel"]).T)
+        put(f"{root}.feature_projection.projection.bias",
+            fp["projection"]["bias"])
 
     enc = params["encoder"]
     pce = enc["pos_conv_embed"]
@@ -109,10 +128,74 @@ def params_to_hf_flat_dict(
     else:
         put(f"{root}.encoder.pos_conv_embed.conv.weight", pce["weight"])
         put(f"{root}.encoder.pos_conv_embed.conv.bias", pce["bias"])
-    put(f"{root}.encoder.layer_norm.weight", enc["layer_norm"]["weight"])
-    put(f"{root}.encoder.layer_norm.bias", enc["layer_norm"]["bias"])
+        if "batch_norm" in pce:
+            # the folded affine re-exported as an inference BatchNorm with
+            # mean=0 and var=1-eps (so sqrt(var+eps)=1 exactly): weight and
+            # bias then equal the folded scale and shift
+            scale = np.asarray(pce["batch_norm"]["scale"])
+            shift = np.asarray(pce["batch_norm"]["shift"])
+            p = f"{root}.encoder.pos_conv_embed.batch_norm"
+            put(p + ".weight", scale)
+            put(p + ".bias", shift)
+            put(p + ".running_mean", np.zeros_like(scale))
+            put(p + ".running_var",
+                np.full_like(scale, 1.0 - 1e-5))
+            put(p + ".num_batches_tracked",
+                np.asarray(0, dtype=np.int64))
+    if "layer_norm" in enc:  # absent for SEW-D's DeBERTa encoder
+        put(f"{root}.encoder.layer_norm.weight", enc["layer_norm"]["weight"])
+        put(f"{root}.encoder.layer_norm.bias", enc["layer_norm"]["bias"])
+    if "upsample" in enc:
+        # SEW/SEW-D upsampler back to the conv frame rate
+        put(f"{root}.encoder.upsample.projection.weight",
+            np.asarray(enc["upsample"]["projection"]["kernel"]).T)
+        put(f"{root}.encoder.upsample.projection.bias",
+            enc["upsample"]["projection"]["bias"])
+    if "rel_embeddings" in enc:
+        # SEW-D shared relative-position embedding (+ its LayerNorm when
+        # norm_rel_ebd includes layer_norm)
+        put(f"{root}.encoder.encoder.rel_embeddings.weight",
+            enc["rel_embeddings"])
+        if "rel_embeddings_layer_norm" in enc:
+            put(f"{root}.encoder.encoder.LayerNorm.weight",
+                enc["rel_embeddings_layer_norm"]["weight"])
+            put(f"{root}.encoder.encoder.LayerNorm.bias",
+                enc["rel_embeddings_layer_norm"]["bias"])
 
     stacked = enc["layers"]
+    if "query_proj" in stacked["attention"]:
+        # SEW-D DeBERTa layers live under encoder.encoder.layer.N with
+        # BERT-style inner names (attention.self / attention.output /
+        # intermediate / output)
+        att = stacked["attention"]
+        n_layers = int(np.asarray(att["query_proj"]["kernel"]).shape[0])
+        for i in range(n_layers):
+            p = f"{root}.encoder.encoder.layer.{i}"
+            for ours, theirs in (("query_proj", "self.query_proj"),
+                                 ("key_proj", "self.key_proj"),
+                                 ("value_proj", "self.value_proj"),
+                                 ("output_dense", "output.dense")):
+                put(f"{p}.attention.{theirs}.weight",
+                    np.asarray(att[ours]["kernel"][i]).T)
+                put(f"{p}.attention.{theirs}.bias", att[ours]["bias"][i])
+            put(f"{p}.attention.output.LayerNorm.weight",
+                att["output_norm"]["weight"][i])
+            put(f"{p}.attention.output.LayerNorm.bias",
+                att["output_norm"]["bias"][i])
+            put(f"{p}.intermediate.dense.weight",
+                np.asarray(stacked["intermediate_dense"]["kernel"][i]).T)
+            put(f"{p}.intermediate.dense.bias",
+                stacked["intermediate_dense"]["bias"][i])
+            put(f"{p}.output.dense.weight",
+                np.asarray(stacked["output_dense"]["kernel"][i]).T)
+            put(f"{p}.output.dense.bias", stacked["output_dense"]["bias"][i])
+            put(f"{p}.output.LayerNorm.weight",
+                stacked["output_norm"]["weight"][i])
+            put(f"{p}.output.LayerNorm.bias", stacked["output_norm"]["bias"][i])
+        put("lm_head.weight", np.asarray(params["lm_head"]["kernel"]).T)
+        put("lm_head.bias", params["lm_head"]["bias"])
+        return out
+
     n_layers = int(np.asarray(
         stacked["attention"]["q_proj"]["kernel"]
     ).shape[0])
@@ -152,6 +235,22 @@ def params_to_hf_flat_dict(
                 # HF layout
                 put(f"{p}.attention.rel_attn_embed.weight",
                     enc["rel_attn_embed"])
+
+    if "adapter" in params:
+        a = params["adapter"]
+        if "proj" in a:
+            put(f"{root}.adapter.proj.weight",
+                np.asarray(a["proj"]["kernel"]).T)
+            put(f"{root}.adapter.proj.bias", a["proj"]["bias"])
+            put(f"{root}.adapter.proj_layer_norm.weight",
+                a["proj_layer_norm"]["weight"])
+            put(f"{root}.adapter.proj_layer_norm.bias",
+                a["proj_layer_norm"]["bias"])
+        n_a = int(np.asarray(a["layers"]["weight"]).shape[0])
+        for i in range(n_a):
+            put(f"{root}.adapter.layers.{i}.conv.weight",
+                a["layers"]["weight"][i])
+            put(f"{root}.adapter.layers.{i}.conv.bias", a["layers"]["bias"][i])
 
     put("lm_head.weight", np.asarray(params["lm_head"]["kernel"]).T)
     put("lm_head.bias", params["lm_head"]["bias"])
