@@ -544,3 +544,72 @@ def test_batch_dp_hbm_tier_equivalence(setup, monkeypatch):
             assert wx.confidence == pytest.approx(wy.confidence, abs=1e-6)
         n += len(x.words)
     assert n == 5
+
+
+def test_sew_d_and_adapter_tensor_parallel_sharding(setup):
+    """SEW-D's DeBERTa layers (query_proj/key_proj/value_proj, BERT-style
+    intermediate/output denses) TP-shard under their own spec branch, and
+    add_adapter conv stacks replicate: sharded alignment must equal
+    unsharded for both families."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    from wav2vec2_tpu.config import Wav2Vec2ModelConfig
+    from wav2vec2_tpu.models.params import init_params
+    from wav2vec2_tpu.parallel.batching import BatchAligner
+    from wav2vec2_tpu.parallel.mesh import make_mesh, param_shardings, shard_params
+    from jax.sharding import PartitionSpec as P
+
+    base = dict(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, conv_dim=[16, 16], conv_kernel=[10, 3],
+        conv_stride=[5, 2], num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4, pad_token_id=0, vocab_size=8,
+        feat_extract_norm="group", conv_bias=False,
+    )
+    families = {
+        "sew-d": dict(model_type="sew-d", squeeze_factor=2,
+                      position_buckets=8, max_position_embeddings=16),
+        "adapter": dict(add_adapter=True, adapter_kernel_size=3,
+                        adapter_stride=2, num_adapter_layers=1),
+    }
+    for name, extra in families.items():
+        cfg = Wav2Vec2ModelConfig.from_dict({**base, **extra})
+        params = init_params(cfg, jax.random.PRNGKey(0))
+        mesh = make_mesh(8, model=2)
+        specs = param_shardings(params, mesh)
+        if name == "sew-d":
+            att = specs["encoder"]["layers"]["attention"]
+            assert att["query_proj"]["kernel"].spec == P(None, None, "model")
+            assert att["output_dense"]["kernel"].spec == P(None, "model", None)
+            lay = specs["encoder"]["layers"]
+            assert lay["intermediate_dense"]["kernel"].spec == P(None, None, "model")
+            assert lay["output_dense"]["kernel"].spec == P(None, "model", None)
+            assert lay["output_norm"]["weight"].spec == P()
+            assert specs["encoder"]["rel_embeddings"].spec == P()
+        else:
+            assert specs["adapter"]["layers"]["weight"].spec == P()
+        sharded_params = shard_params(params, mesh)
+        vocab = {"a": 1, "b": 2, "|": 3, "c": 4}
+        plain = BatchAligner(cfg, params, vocab, compute_dtype="float32",
+                             use_pallas=False)
+        sharded = BatchAligner(cfg, sharded_params, vocab,
+                               compute_dtype="float32", use_pallas=False,
+                               mesh=mesh)
+        rng = np.random.default_rng(6)
+        audios = [rng.normal(size=4000).astype(np.float32) for _ in range(4)]
+        transcripts = ["ab ca", "ba", "ab", "ca ab"]
+        a = plain.align_utterances(audios, transcripts,
+                                   audio_multiple=500, token_multiple=16)
+        b = sharded.align_utterances(audios, transcripts,
+                                     audio_multiple=500, token_multiple=16)
+        n = 0
+        for x, y in zip(a, b):
+            assert [w.word for w in x.words] == [w.word for w in y.words], name
+            for wx, wy in zip(x.words, y.words):
+                assert (wx.start_ms, wx.end_ms) == (wy.start_ms, wy.end_ms)
+            n += len(x.words)
+        assert n > 0, name
+

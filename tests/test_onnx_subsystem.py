@@ -404,3 +404,46 @@ def test_embedded_session_eager_shape_ops():
     assert int(b0) == 2
     np.testing.assert_allclose(m, (x @ g.initializers["w"]).mean(-1),
                                rtol=1e-6)
+
+
+def test_export_declines_sew_and_adapter_families():
+    import jax
+
+    from wav2vec2_tpu.errors import RuntimeBackendError
+    from wav2vec2_tpu.models.params import init_params
+    from wav2vec2_tpu.onnx import export_ctc_model
+
+    for extra, msg in [
+        (dict(encoder_style="sew", squeeze_factor=2), "SEW"),
+        (dict(add_adapter=True, adapter_kernel_size=3, adapter_stride=2,
+              num_adapter_layers=1), "add_adapter"),
+    ]:
+        cfg = Wav2Vec2ModelConfig(**CFG_KW, **extra)
+        params = init_params(cfg, jax.random.PRNGKey(0))
+        with pytest.raises(RuntimeBackendError, match=msg):
+            export_ctc_model(cfg, params)
+
+
+def test_batch_norm_pos_conv_exports_and_matches_jax():
+    """conv_pos_batch_norm checkpoints stay inside the ONNX surface: the
+    folded per-channel affine is emitted as Mul/Add before the pos-conv and
+    must match the JAX forward. The shift is set off zero so a dropped
+    affine cannot pass."""
+    import jax
+    import jax.numpy as jnp
+
+    from wav2vec2_tpu.models.ctc_model import wav2vec2_forward
+    from wav2vec2_tpu.models.params import init_params
+    from wav2vec2_tpu.onnx import EmbeddedOnnxSession, export_ctc_model
+
+    cfg = Wav2Vec2ModelConfig(**CFG_KW, conv_pos_batch_norm=True)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    bn = params["encoder"]["pos_conv_embed"]["batch_norm"]
+    bn["scale"] = bn["scale"] * 1.3
+    bn["shift"] = bn["shift"] + 0.21
+    sess = EmbeddedOnnxSession(export_ctc_model(cfg, params).encode())
+    rng = np.random.default_rng(3)
+    audio = rng.normal(size=(1, 1600)).astype(np.float32)
+    (logits,) = sess.run(None, {"audio": audio})
+    ref = np.asarray(wav2vec2_forward(params, jnp.asarray(audio), cfg))
+    np.testing.assert_allclose(logits, ref, atol=2e-5)

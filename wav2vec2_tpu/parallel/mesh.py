@@ -58,7 +58,20 @@ def param_shardings(params: dict, mesh: Mesh) -> dict:
                     pspec = P(None, None, "model")
                 else:  # q/k/v bias [L, H]
                     pspec = P(None, "model")
-            elif "feed_forward" in keys:
+            elif {"query_proj", "key_proj", "value_proj"} & set(keys):
+                # SEW-D DeBERTa attention: same Megatron split, different
+                # names (q/k/v shard the head-output axis; share_att_key
+                # means the rel-pos projections shard with them for free)
+                if "kernel" in keys:
+                    pspec = P(None, None, "model")
+                else:
+                    pspec = P(None, "model")
+            elif "feed_forward" in keys or (
+                "attention" not in keys and
+                {"intermediate_dense", "output_dense"} & set(keys)
+            ):
+                # wav2vec2 FFN lives under feed_forward.*; SEW-D's BERT-style
+                # FFN (intermediate_dense/output_dense) sits at layer level
                 if "intermediate_dense" in keys:
                     pspec = (
                         P(None, None, "model") if leaf.ndim == 3 else P(None, "model")
@@ -67,6 +80,10 @@ def param_shardings(params: dict, mesh: Mesh) -> dict:
                     pspec = P(None, "model", None)
                 else:
                     pspec = P()
+            elif "output_dense" in keys and "attention" in keys:
+                # SEW-D attention output projection: shard the input axis →
+                # the attention block ends in one psum
+                pspec = P(None, "model", None) if "kernel" in keys else P()
             else:
                 pspec = P()
         else:
