@@ -251,7 +251,12 @@ def test_all_presets_build_and_run_forward():
     for name, fn in PRESETS.items():
         cfg = fn(vocab_size=12)
         assert cfg.vocab_size == 12, name
-        assert cfg.frame_stride_ms(16000) == pytest.approx(20.0), name
+        # conv stack emits 20 ms frames; add_adapter models downsample a
+        # further adapter_stride**num_adapter_layers (config.py:159-171)
+        expect_ms = 20.0
+        if getattr(cfg, "add_adapter", False):
+            expect_ms *= cfg.adapter_stride ** cfg.num_adapter_layers
+        assert cfg.frame_stride_ms(16000) == pytest.approx(expect_ms), name
         assert cfg.conv_output_length(16000) > 0, name
 
 
@@ -287,3 +292,36 @@ def test_cli_perf_mode_skips_unalignable_case(model_dir, dataset_root, tmp_path)
     finally:
         (base / "9-9-9999.flac").unlink()
         trans.unlink()
+
+
+def test_cli_phoneme_units_mode(model_dir, tmp_path):
+    """--units phoneme: transcripts are whitespace-separated vocab symbols;
+    the TextGrid carries one tight interval per phone (both the batch path
+    and, via --no-batch, the builder-injected single path)."""
+    root = tmp_path / "data"
+    base = root / "LibriSpeech" / "test-clean" / "1" / "2"
+    base.mkdir(parents=True)
+    rng = np.random.default_rng(3)
+    lines = []
+    for i, text in enumerate(["H E L O", "T A | C A T"]):
+        uid = f"1-2-{i:04d}"
+        x = np.clip(np.cumsum(rng.integers(-80, 80, size=16000)), -30000, 30000)
+        write_flac(base / f"{uid}.flac", x.astype(np.int64), 16000)
+        lines.append(f"{uid} {text}")
+    (base / "1-2.trans.txt").write_text("\n".join(lines))
+
+    for extra in (["--batch"], ["--no-batch"]):
+        rc = run([
+            "--model-dir", str(model_dir), "--dataset-root", str(root),
+            "--compute-dtype", "float32", "--output-format", "textgrid",
+            "--units", "phoneme", *extra,
+        ])
+        assert rc == 0
+        tg_files = sorted((root / "LibriSpeech").rglob("*.TextGrid"))
+        assert len(tg_files) == 2
+        text0 = tg_files[0].read_text()
+        for sym in ["H", "E", "L", "O"]:
+            assert f'"{sym.lower()}"' in text0 or f'"{sym}"' in text0
+        # 4 phones => 4 word-tier intervals at minimum (plus gaps)
+        for f in tg_files:
+            f.unlink()

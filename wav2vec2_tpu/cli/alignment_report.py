@@ -84,6 +84,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
         choices=["float32", "bfloat16"],
     )
     p.add_argument(
+        "--units", default=_env("UNITS", "word"),
+        choices=["word", "phoneme"],
+        help="alignment unit: 'word' runs the full grouping orchestrator; "
+             "'phoneme' treats the transcript as whitespace-separated vocab "
+             "symbols and emits tight per-phone units (for phoneme-CTC "
+             "models; the reference's envisioned switchable grouping mode)",
+    )
+    p.add_argument(
         "--output-format", default=_env("FORMAT", "json"),
         choices=["json", "textgrid", "perf", "srt", "vtt"],
         help="json report, Praat TextGrids, perf JSONL (reference formats), "
@@ -179,7 +187,11 @@ def _load_model(args):
     else:
         weights_path = _require(model_dir / "model.safetensors", "model.safetensors")
     model_cfg = Wav2Vec2ModelConfig.load(config_path)
-    vocab = load_vocab(vocab_path)
+    # phoneme mode looks symbols up verbatim — keep multi-codepoint keys
+    vocab = load_vocab(
+        vocab_path,
+        single_char_only=getattr(args, "units", "word") != "phoneme",
+    )
     return model_dir, weights_path, config_path, vocab_path, model_cfg, vocab
 
 
@@ -208,6 +220,7 @@ def _make_batch_aligner(args, model_cfg, vocab, params):
 
     return BatchAligner(
         model_cfg, params, vocab, compute_dtype=args.compute_dtype,
+        units=args.units,
     )
 
 
@@ -232,9 +245,15 @@ def _make_single_aligner(args, model_dir, model_cfg):
             vocab_path=str(model_dir / "vocab.json"),
             device=onnx_device,
         )
-        return (
-            ForcedAlignerBuilder(cfg).with_runtime_backend(backend).build()
-        )
+        builder = ForcedAlignerBuilder(cfg).with_runtime_backend(backend)
+        if args.units == "phoneme":
+            from ..pipeline.defaults import PhonemeGrouper, PhonemeTokenizer
+
+            builder = (
+                builder.with_tokenizer(PhonemeTokenizer())
+                .with_word_grouper(PhonemeGrouper())
+            )
+        return builder.build()
 
     cfg = Wav2Vec2Config(
         model_path=str(model_dir / "model.safetensors"),
@@ -242,11 +261,18 @@ def _make_single_aligner(args, model_dir, model_cfg):
         vocab_path=str(model_dir / "vocab.json"),
         device=args.device,
     )
-    return (
+    builder = (
         ForcedAlignerBuilder(cfg)
         .with_backend_options(compute_dtype=args.compute_dtype)
-        .build()
     )
+    if args.units == "phoneme":
+        from ..pipeline.defaults import PhonemeGrouper, PhonemeTokenizer
+
+        builder = (
+            builder.with_tokenizer(PhonemeTokenizer())
+            .with_word_grouper(PhonemeGrouper())
+        )
+    return builder.build()
 
 
 def run(argv=None) -> int:
@@ -312,7 +338,15 @@ def run(argv=None) -> int:
     # BatchAligner.align_stream so memory stays bounded by the decode
     # prefetch window + the engine's pending set — a full LibriSpeech split
     # never sits in RAM at once (upfront loading peaked at ~5 GB there).
-    from ..align.tokenization import build_token_sequence_case_aware
+    from ..align.tokenization import (
+        build_token_sequence_case_aware,
+        build_token_sequence_phoneme,
+    )
+
+    tokenize = (
+        build_token_sequence_phoneme if args.units == "phoneme"
+        else build_token_sequence_case_aware
+    )
 
     def _decode(c):
         samples, rate = read_audio_mono(dataset_root / c.audio_path)
@@ -321,7 +355,7 @@ def run(argv=None) -> int:
     def _too_short(c, n_samples):
         # per-case skip instead of aborting the run (the per-utterance
         # guard raises, runtime.rs:116-121; here it becomes a warning)
-        seq = build_token_sequence_case_aware(
+        seq = tokenize(
             c.transcript, vocab, model_cfg.pad_token_id, vocab.get("|", 0)
         )
         t_i = model_cfg.conv_output_length(n_samples)

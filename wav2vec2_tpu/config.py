@@ -234,9 +234,11 @@ class AlignerHyperParams:
     kernel_dp_threshold: int = 25_000
 
 
-def load_vocab(path: str | Path) -> dict[str, int]:
+def load_vocab(path: str | Path, single_char_only: bool = True) -> dict[str, int]:
     """Load HF vocab.json keeping only single-character keys
-    (reference: builder.rs:98-115)."""
+    (reference: builder.rs:98-115). Phoneme-CTC vocabs carry
+    multi-codepoint symbols ("ɛ̃", "tʃ") — tokenizers that look symbols up
+    verbatim (PhonemeTokenizer) load with single_char_only=False."""
     try:
         data = Path(path).read_text()
     except OSError as e:
@@ -245,4 +247,6 @@ def load_vocab(path: str | Path) -> dict[str, int]:
         raw = json.loads(data)
     except json.JSONDecodeError as e:
         raise JsonError("parse vocab.json", e) from e
-    return {k: int(v) for k, v in raw.items() if len(k) == 1}
+    if single_char_only:
+        return {k: int(v) for k, v in raw.items() if len(k) == 1}
+    return {k: int(v) for k, v in raw.items()}

@@ -193,6 +193,7 @@ class BatchAligner:
         sample_rate_hz: int = 16000,
         normalize_on_device: bool = False,
         quantize_int8: bool = False,
+        units: str = "word",
     ):
         from ..ops.viterbi_pallas import on_tpu
 
@@ -224,6 +225,36 @@ class BatchAligner:
         )
         self.use_pallas = on_tpu() if use_pallas is None else use_pallas
         self.interpret = not on_tpu()
+        if units not in ("word", "phoneme"):
+            raise ValueError(f"units must be 'word' or 'phoneme', got {units!r}")
+        self.units = units
+
+    def _tokenize(self, transcript: str):
+        if self.units == "phoneme":
+            from ..align.tokenization import build_token_sequence_phoneme
+
+            return build_token_sequence_phoneme(
+                transcript, self.vocab, self.blank_id, self.word_sep_id
+            )
+        return build_token_sequence_case_aware(
+            transcript, self.vocab, self.blank_id, self.word_sep_id
+        )
+
+    def _group(self, path_states, seq, evidence):
+        """Grouping dispatch: word mode runs the full grouping orchestrator
+        (expansion + selection + calibration); phoneme mode emits raw
+        per-state units (align/grouping/phoneme.py)."""
+        if self.units == "phoneme":
+            from ..align.grouping.phoneme import group_into_phonemes
+
+            return group_into_phonemes(
+                path_states, seq, evidence, self.blank_id, self.word_sep_id,
+                self.stride_ms,
+            )
+        return group_into_words(
+            path_states, seq.tokens, seq.chars, seq.normalized_words,
+            evidence, self.blank_id, self.word_sep_id, self.stride_ms, self.hp,
+        )
 
     def _device_put_batch(self, audio, audio_lens, tokens, s_lens):
         if self.mesh is None:
@@ -371,10 +402,7 @@ class BatchAligner:
                     blank_prob=blank_prob[j, :t_i].astype(np.float64),
                     entropy=entropy[j, :t_i],
                 )
-                words = group_into_words(
-                    paths[j, :t_i], seq.tokens, seq.chars, seq.normalized_words,
-                    ev, self.blank_id, self.word_sep_id, self.stride_ms, self.hp,
-                )
+                words = self._group(paths[j, :t_i], seq, ev)
                 stats = _utterance_frame_stats(
                     paths[j, :t_i], seq.tokens, self.blank_id, ev
                 )
@@ -382,9 +410,7 @@ class BatchAligner:
 
         for idx, (audio, transcript) in enumerate(items):
             audio = np.asarray(audio)
-            seq = build_token_sequence_case_aware(
-                transcript, self.vocab, self.blank_id, self.word_sep_id
-            )
+            seq = self._tokenize(transcript)
             if len(audio) == 0 or not transcript.strip() or not seq.normalized_words:
                 yield idx, AlignmentOutput(words=[])
                 continue
@@ -443,12 +469,7 @@ class BatchAligner:
 
         from ..errors import InvalidInputError
 
-        seqs = [
-            build_token_sequence_case_aware(
-                t, self.vocab, self.blank_id, self.word_sep_id
-            )
-            for t in transcripts
-        ]
+        seqs = [self._tokenize(t) for t in transcripts]
         lens = [len(a) for a in audios]
         s_lens = [len(s.tokens) for s in seqs]
         outputs: list[AlignmentOutput | None] = [None] * len(audios)
@@ -521,11 +542,7 @@ class BatchAligner:
                     blank_prob=blank_prob[j, :t_i].astype(np.float64),
                     entropy=entropy[j, :t_i],
                 )
-                words = group_into_words(
-                    paths[j, :t_i], seqs[i].tokens, seqs[i].chars,
-                    seqs[i].normalized_words,
-                    ev, self.blank_id, self.word_sep_id, self.stride_ms, self.hp,
-                )
+                words = self._group(paths[j, :t_i], seqs[i], ev)
                 stats = _utterance_frame_stats(
                     paths[j, :t_i], seqs[i].tokens, self.blank_id, ev
                 )

@@ -65,7 +65,12 @@ class ForcedAlignerBuilder:
         expected_sr = self.config.expected_sample_rate_hz or DEFAULT_SAMPLE_RATE_HZ
         frame_stride_ms = model_cfg.frame_stride_ms(expected_sr)
         blank_id = model_cfg.pad_token_id
-        vocab = load_vocab(self.config.vocab_path)
+        # the injected tokenizer owns the vocab-filtering policy: the
+        # default char tokenizer keeps the reference's single-char rule,
+        # PhonemeTokenizer needs multi-codepoint symbols verbatim
+        single_char = getattr(self._tokenizer, "vocab_filter", "single_char") \
+            == "single_char"
+        vocab = load_vocab(self.config.vocab_path, single_char_only=single_char)
         word_sep_id = vocab.get("|", 0)
         hp = self._hp or AlignerHyperParams()
 
