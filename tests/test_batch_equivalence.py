@@ -613,3 +613,63 @@ def test_sew_d_and_adapter_tensor_parallel_sharding(setup):
             n += len(x.words)
         assert n > 0, name
 
+
+
+def test_conformer_tensor_parallel_sharding(setup):
+    """Conformer TP: linear_q/k/v/pos shard the head-output axis,
+    linear_out the input axis, pos_bias_u/v the head axis; the conv module
+    replicates. Sharded alignment must equal unsharded."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    from wav2vec2_tpu.config import Wav2Vec2ModelConfig
+    from wav2vec2_tpu.models.params import init_params
+    from wav2vec2_tpu.parallel.batching import BatchAligner
+    from wav2vec2_tpu.parallel.mesh import make_mesh, param_shardings, shard_params
+
+    cfg = Wav2Vec2ModelConfig.from_dict(dict(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, conv_dim=[16, 16], conv_kernel=[10, 3],
+        conv_stride=[5, 2], num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4, pad_token_id=0, vocab_size=8,
+        feat_extract_norm="group", conv_bias=False,
+        model_type="wav2vec2-conformer", position_embeddings_type="relative",
+        hidden_act="swish", conv_depthwise_kernel_size=7,
+    ))
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    mesh = make_mesh(8, model=2)
+    specs = param_shardings(params, mesh)
+    sa = specs["encoder"]["layers"]["self_attn"]
+    assert sa["linear_q"]["kernel"].spec == jax.sharding.PartitionSpec(
+        None, None, "model")
+    assert sa["linear_out"]["kernel"].spec == jax.sharding.PartitionSpec(
+        None, "model", None)
+    assert sa["pos_bias_u"].spec == jax.sharding.PartitionSpec(
+        None, "model", None)
+    ffn = specs["encoder"]["layers"]["ffn1"]
+    assert ffn["intermediate_dense"]["kernel"].spec == \
+        jax.sharding.PartitionSpec(None, None, "model")
+
+    vocab = {"a": 1, "b": 2, "|": 3, "c": 4}
+    sharded_params = shard_params(params, mesh)
+    plain = BatchAligner(cfg, params, vocab, compute_dtype="float32",
+                         use_pallas=False)
+    sharded = BatchAligner(cfg, sharded_params, vocab,
+                           compute_dtype="float32", use_pallas=False,
+                           mesh=mesh)
+    rng = np.random.default_rng(6)
+    audios = [rng.normal(size=3000).astype(np.float32) for _ in range(4)]
+    transcripts = ["ab ca", "ba", "ab", "ca ab"]
+    a = plain.align_utterances(audios, transcripts,
+                               audio_multiple=500, token_multiple=16)
+    b = sharded.align_utterances(audios, transcripts,
+                                 audio_multiple=500, token_multiple=16)
+    n = 0
+    for x, y in zip(a, b):
+        assert [w.word for w in x.words] == [w.word for w in y.words]
+        for wx, wy in zip(x.words, y.words):
+            assert (wx.start_ms, wx.end_ms) == (wy.start_ms, wy.end_ms)
+        n += len(x.words)
+    assert n > 0

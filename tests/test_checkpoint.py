@@ -75,7 +75,7 @@ def test_safetensors_file_roundtrip(tiny, tmp_path):
 
 @pytest.mark.parametrize(
     "family", ["wavlm_adapter", "data2vec", "hubert_no_ln", "hubert_bn_pos",
-               "conv_adapter"])
+               "conv_adapter", "conformer_rel", "conformer_rotary"])
 def test_safetensors_roundtrip_new_families(tmp_path, family):
     """params_to_hf_flat_dict must invert params_from_flat_dict for every
     model family (WavLM gates/bias embed, MMS adapters, data2vec pos-conv
@@ -107,6 +107,11 @@ def test_safetensors_roundtrip_new_families(tmp_path, family):
         base.update(add_adapter=True, adapter_kernel_size=3,
                     adapter_stride=2, num_adapter_layers=2,
                     output_hidden_size=24)
+    elif family in ("conformer_rel", "conformer_rotary"):
+        base.update(model_type="wav2vec2-conformer",
+                    position_embeddings_type=family.split("_")[1].replace(
+                        "rel", "relative"),
+                    hidden_act="swish", conv_depthwise_kernel_size=7)
     else:
         base.update(feat_proj_layer_norm=False)
     cfg = Wav2Vec2ModelConfig.from_dict(base)
@@ -131,7 +136,9 @@ def test_safetensors_roundtrip_new_families(tmp_path, family):
     expected = {"wavlm_adapter": "wavlm.", "data2vec": "data2vec_audio.",
                 "hubert_no_ln": "wav2vec2.",
                 "hubert_bn_pos": "wav2vec2.",
-                "conv_adapter": "wav2vec2."}[family]
+                "conv_adapter": "wav2vec2.",
+                "conformer_rel": "wav2vec2_conformer.",
+                "conformer_rotary": "wav2vec2_conformer."}[family]
     flat = params_to_hf_flat_dict(params, cfg)
     assert all(k.startswith((expected, "lm_head.")) for k in flat), sorted(flat)[:3]
     assert any(k.startswith(expected) for k in flat)
@@ -152,3 +159,59 @@ def test_hf_prefix_family_override(tiny):
     assert hf_weight_prefix(cfg, family="sew-d") == "sew_d"
     with pytest.raises(ValueError, match="unknown model family"):
         hf_weight_prefix(cfg, family="whisper")
+
+
+def test_conformer_export_loads_into_transformers():
+    """The conformer export must load into transformers'
+    Wav2Vec2ConformerForCTC (BatchNorm re-expanded to running stats,
+    pointwise matmul kernels back to [out, in, 1] conv weights) and produce
+    the same logits — the only acceptable missing keys are the encoder's
+    pos_conv_embed, which the HF forward never uses."""
+    import jax
+    import numpy as np
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    from wav2vec2_tpu.config import Wav2Vec2ModelConfig
+    from wav2vec2_tpu.models.ctc_model import make_forward_fn
+    from wav2vec2_tpu.models.params import init_params
+    from wav2vec2_tpu.utils.checkpoint import params_to_hf_flat_dict
+
+    d = dict(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, conv_dim=[16, 16], conv_kernel=[10, 3],
+        conv_stride=[5, 2], num_conv_pos_embeddings=4,
+        num_conv_pos_embedding_groups=4, pad_token_id=0, vocab_size=8,
+        feat_extract_norm="group", conv_bias=False,
+    )
+    cfg = Wav2Vec2ModelConfig.from_dict(
+        {**d, "model_type": "wav2vec2-conformer",
+         "position_embeddings_type": "relative", "hidden_act": "swish",
+         "conv_depthwise_kernel_size": 7})
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    flat = {k: torch.from_numpy(np.ascontiguousarray(v))
+            for k, v in params_to_hf_flat_dict(params, cfg).items()}
+
+    hf_cfg = transformers.Wav2Vec2ConformerConfig(
+        **d, hidden_dropout=0.0, attention_dropout=0.0, feat_proj_dropout=0.0,
+        final_dropout=0.0, layerdrop=0.0, conformer_conv_dropout=0.0,
+        activation_dropout=0.0, position_embeddings_type="relative",
+        hidden_act="swish", conv_depthwise_kernel_size=7,
+        max_source_positions=512,
+    )
+    tm = transformers.Wav2Vec2ConformerForCTC(hf_cfg).eval()
+    missing, unexpected = tm.load_state_dict(flat, strict=False)
+    assert not unexpected, unexpected
+    allowed = {"wav2vec2_conformer.masked_spec_embed"}
+    assert all(
+        m in allowed or ".pos_conv_embed." in m for m in missing
+    ), missing
+
+    rng = np.random.default_rng(3)
+    audio = rng.normal(size=(1, 1600)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(audio)).logits.numpy()
+    got = np.asarray(make_forward_fn(cfg)(params, audio))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)

@@ -616,3 +616,114 @@ def test_sew_d_padded_batch_matches_unpadded():
             batched[i, :t_i], single[0], rtol=2e-4, atol=2e-4,
             err_msg=f"utterance {i} (len {lens[i]})",
         )
+
+
+def _conformer_pair(position_embeddings_type="relative", hidden_act="swish"):
+    d = dict(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, conv_dim=[16, 16], conv_kernel=[10, 3],
+        conv_stride=[5, 2], num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4, pad_token_id=0, vocab_size=12,
+    )
+    hf_cfg = transformers.Wav2Vec2ConformerConfig(
+        **d,
+        hidden_dropout=0.0, attention_dropout=0.0, feat_proj_dropout=0.0,
+        final_dropout=0.0, layerdrop=0.0, conformer_conv_dropout=0.0,
+        activation_dropout=0.0,
+        position_embeddings_type=position_embeddings_type,
+        hidden_act=hidden_act, conv_depthwise_kernel_size=7,
+        feat_extract_norm="group", conv_bias=False,
+        max_source_positions=512,
+    )
+    torch.manual_seed(0)
+    tm = transformers.Wav2Vec2ConformerForCTC(hf_cfg).eval()
+    cfg = Wav2Vec2ModelConfig.from_dict(
+        {**d, "model_type": "wav2vec2-conformer",
+         "position_embeddings_type": position_embeddings_type,
+         "hidden_act": hidden_act, "conv_depthwise_kernel_size": 7,
+         "feat_extract_norm": "group", "conv_bias": False}
+    )
+    assert cfg.encoder_style == "conformer"
+    params = params_from_torch_model(tm, cfg)
+    return tm, cfg, params
+
+
+@pytest.mark.parametrize("pos,act", [
+    ("relative", "swish"), ("rotary", "swish"), (None, "gelu"),
+], ids=["rel-pos-swish", "rotary-swish", "no-pos-gelu"])
+def test_conformer_logits_match_transformers(pos, act):
+    """Wav2Vec2-Conformer: half-step FFNs, rotary/Transformer-XL-relative
+    attention, depthwise-conv module with folded inference BatchNorm, final
+    per-layer LN + encoder-level LN after the layers. The HF encoder's
+    pos_conv_embed exists but is never called in its forward — the loader
+    drops those weights (params.py)."""
+    tm, cfg, params = _conformer_pair(position_embeddings_type=pos,
+                                      hidden_act=act)
+    assert "pos_conv_embed" not in params["encoder"]
+    if pos == "relative":
+        assert "linear_pos" in params["encoder"]["layers"]["self_attn"]
+    rng = np.random.default_rng(1)
+    audio = rng.normal(size=(1, 1600)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(audio)).logits.numpy()
+    fwd = make_forward_fn(cfg)
+    got = np.asarray(fwd(params, audio))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("pos", ["relative", "rotary"])
+def test_conformer_padded_batch_matches_unpadded(pos):
+    """Attention key masks + the re-zeroing before each depthwise conv must
+    reproduce the unpadded forward on valid frames (the conv module is the
+    only cross-frame op in the block)."""
+    import jax.numpy as jnp
+
+    tm, cfg, params = _conformer_pair(position_embeddings_type=pos)
+    rng = np.random.default_rng(2)
+    lens = [1600, 1100, 731]
+    audios = [rng.normal(size=(n,)).astype(np.float32) for n in lens]
+    batch = np.zeros((len(lens), max(lens)), np.float32)
+    for i, a in enumerate(audios):
+        batch[i, : len(a)] = a
+    fwd = make_forward_fn(cfg)
+    batched = np.asarray(fwd(params, batch, jnp.asarray(lens)))
+    for i, a in enumerate(audios):
+        single = np.asarray(fwd(params, a[None, :]))
+        t_i = cfg.conv_output_length(lens[i])
+        np.testing.assert_allclose(
+            batched[i, :t_i], single[0], rtol=2e-4, atol=2e-4,
+            err_msg=f"utterance {i} (len {lens[i]})",
+        )
+
+
+@pytest.mark.parametrize("family,cls_name,prefix", [
+    ("unispeech", "UniSpeechForCTC", "unispeech"),
+    ("unispeech-sat", "UniSpeechSatForCTC", "unispeech_sat"),
+])
+def test_unispeech_logits_match_transformers(family, cls_name, prefix):
+    """UniSpeech / UniSpeech-SAT share wav2vec2's CTC graph exactly
+    (transformers modular_unispeech{,_sat}.py inherits every module) — only
+    the checkpoint prefix differs. Loaded through the same pipeline."""
+    d = make_cfg()
+    cfg_cls = {"unispeech": transformers.UniSpeechConfig,
+               "unispeech-sat": transformers.UniSpeechSatConfig}[family]
+    hf_cfg = cfg_cls(
+        **d, hidden_dropout=0.0, attention_dropout=0.0, feat_proj_dropout=0.0,
+        final_dropout=0.0, layerdrop=0.0, hidden_act="gelu",
+    )
+    torch.manual_seed(0)
+    tm = getattr(transformers, cls_name)(hf_cfg).eval()
+    from wav2vec2_tpu.models.params import params_from_flat_dict
+
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    assert any(k.startswith(prefix + ".") for k in sd)
+    cfg = Wav2Vec2ModelConfig.from_dict({**d, "model_type": family})
+    params = params_from_flat_dict(sd, cfg)
+    rng = np.random.default_rng(1)
+    audio = rng.normal(size=(1, 1600)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(audio)).logits.numpy()
+    fwd = make_forward_fn(cfg)
+    got = np.asarray(fwd(params, audio))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)

@@ -102,6 +102,18 @@ class Wav2Vec2ModelConfig:
     share_att_key: bool = True
     pos_att_type: tuple = ("p2c", "c2p")
     norm_rel_ebd: str = "layer_norm"
+    # Wav2Vec2-Conformer compatibility (Wav2Vec2ConformerConfig): conformer
+    # blocks (FFN-half / self-attn / depthwise-conv module / FFN-half) with
+    # rotary or Transformer-XL relative position embeddings; detected from
+    # config.json model_type ("wav2vec2-conformer" sets
+    # encoder_style="conformer"). hidden_act is read for the conformer FFN +
+    # conv-module activation (released conformer checkpoints use "swish");
+    # the other families always ship hidden_act="gelu".
+    position_embeddings_type: str = "relative"  # "relative"|"rotary"|"none"
+    rotary_embedding_base: int = 10000
+    max_source_positions: int = 5000
+    conv_depthwise_kernel_size: int = 31
+    hidden_act: str = "gelu"
 
     @classmethod
     def from_dict(cls, d: dict) -> "Wav2Vec2ModelConfig":
@@ -125,7 +137,9 @@ class Wav2Vec2ModelConfig:
                     "encoder_style", "squeeze_factor",
                     "feature_layer_norm_eps", "position_buckets",
                     "max_position_embeddings", "share_att_key",
-                    "norm_rel_ebd"]:
+                    "norm_rel_ebd", "rotary_embedding_base",
+                    "max_source_positions", "conv_depthwise_kernel_size",
+                    "hidden_act"]:
             if opt in d and d[opt] is not None:
                 kwargs[opt] = d[opt]
         if "pos_att_type" in d and d["pos_att_type"] is not None:
@@ -142,6 +156,17 @@ class Wav2Vec2ModelConfig:
             # SEWDConfig's feature-path norms keep their own epsilon (the
             # encoder's layer_norm_eps is 1e-7)
             kwargs.setdefault("feature_layer_norm_eps", 1e-5)
+        if d.get("model_type") == "wav2vec2-conformer":
+            kwargs["encoder_style"] = "conformer"
+            # Wav2Vec2ConformerConfig allows position_embeddings_type=None
+            # (absolute-position-free attention); normalize to "none"
+            kwargs["position_embeddings_type"] = (
+                d.get("position_embeddings_type") or "none"
+            )
+        # UniSpeech / UniSpeech-SAT share wav2vec2's CTC graph exactly
+        # (transformers modular_unispeech{,_sat}.py: every module inherits
+        # the Wav2Vec2 one) — only the checkpoint prefix differs, handled in
+        # models/params.py; no config fields change here.
         return cls(**kwargs)
 
     @classmethod

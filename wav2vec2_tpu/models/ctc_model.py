@@ -19,7 +19,12 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Wav2Vec2ModelConfig
-from .encoder import adapter_forward, encoder_forward, sew_encoder_forward
+from .encoder import (
+    adapter_forward,
+    conformer_encoder_forward,
+    encoder_forward,
+    sew_encoder_forward,
+)
 from .feature_extractor import feature_extractor_forward, feature_projection_forward
 from .layers import linear
 
@@ -59,6 +64,10 @@ def wav2vec2_forward(
 
         if getattr(cfg, "encoder_style", "wav2vec2") == "sew":
             hidden = sew_encoder_forward(
+                params["encoder"], hidden, cfg, frame_mask=frame_mask
+            )
+        elif getattr(cfg, "encoder_style", "wav2vec2") == "conformer":
+            hidden = conformer_encoder_forward(
                 params["encoder"], hidden, cfg, frame_mask=frame_mask
             )
         else:
@@ -159,6 +168,10 @@ class _FrozenCfg:
                 getattr(cfg, "share_att_key", True),
                 tuple(getattr(cfg, "pos_att_type", ("p2c", "c2p"))),
                 getattr(cfg, "norm_rel_ebd", "layer_norm"),
+                getattr(cfg, "position_embeddings_type", "relative"),
+                getattr(cfg, "rotary_embedding_base", 10000),
+                getattr(cfg, "conv_depthwise_kernel_size", 31),
+                getattr(cfg, "hidden_act", "gelu"),
             ),
         )
 

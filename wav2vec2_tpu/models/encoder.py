@@ -27,6 +27,8 @@ per-utterance execution.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -465,6 +467,233 @@ def sew_encoder_forward(
     if h.shape[1] < t_in:
         h = jnp.pad(h, ((0, 0), (0, t_in - h.shape[1]), (0, 0)))
     return h
+
+
+def _conformer_rel_pos_embeddings(t: int, hidden: int, dtype) -> jnp.ndarray:
+    """Transformer-XL relative position encodings [2T-1, H] for distances
+    d = T-1 … -(T-1) (row j ↔ distance T-1-j), matching transformers
+    Wav2Vec2ConformerRelPositionalEmbedding: even channels sin(d·w_i), odd
+    channels cos(d·w_i), w_i = 10000^(-2i/H). Built directly at trace time
+    (static T) instead of slicing a max_source_positions buffer."""
+    d = (t - 1 - jnp.arange(2 * t - 1, dtype=jnp.float32))[:, None]
+    inv = jnp.exp(
+        jnp.arange(0, hidden, 2, dtype=jnp.float32)
+        * (-math.log(10000.0) / hidden)
+    )[None, :]
+    ang = d * inv
+    pe = jnp.stack([jnp.sin(ang), jnp.cos(ang)], axis=-1).reshape(
+        2 * t - 1, hidden
+    )
+    return pe.astype(dtype)
+
+
+def _conformer_rotary(t: int, head_dim: int, base: float):
+    """Rotary cos/sin tables [T, head_dim] (Wav2Vec2ConformerRotary-
+    PositionalEmbedding parity: emb = concat(freqs, freqs))."""
+    inv = 1.0 / (
+        base ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    freqs = jnp.arange(t, dtype=jnp.float32)[:, None] * inv[None, :]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _conformer_attention(
+    p: dict,
+    x: jnp.ndarray,
+    mask_bias: jnp.ndarray | None,
+    cfg: Wav2Vec2ModelConfig,
+    pos: tuple | jnp.ndarray | None,
+) -> jnp.ndarray:
+    """Wav2Vec2ConformerSelfAttention parity. `pos` is (cos, sin) tables for
+    rotary, the [2T-1, H] encoding for relative, None otherwise. Unlike the
+    wav2vec2 attention, the query is NOT pre-scaled — scores divide by
+    sqrt(head_dim) after the position terms are added (torch op order, kept
+    for f32 bit-closeness)."""
+    b, t, h = x.shape
+    nh = cfg.num_attention_heads
+    hd = h // nh
+    style = cfg.position_embeddings_type
+
+    qk_states = x
+    if style == "rotary":
+        # rotation happens in the full hidden space BEFORE the q/k
+        # projections (HF quirk); values attend from the UNROTATED states
+        cos, sin = pos
+        cos = cos.astype(x.dtype)[None, :, None, :]
+        sin = sin.astype(x.dtype)[None, :, None, :]
+        hh = x.reshape(b, t, nh, hd)
+        rot = jnp.concatenate([-hh[..., hd // 2:], hh[..., : hd // 2]], axis=-1)
+        qk_states = (hh * cos + rot * sin).reshape(b, t, h)
+
+    def split_heads(y):
+        return y.reshape(b, -1, nh, hd).transpose(0, 2, 1, 3)
+
+    q = split_heads(linear_maybe_quantized(qk_states, p["linear_q"]))
+    k = split_heads(linear_maybe_quantized(qk_states, p["linear_k"]))
+    v = split_heads(linear_maybe_quantized(x, p["linear_v"]))
+
+    acc = jnp.float32 if x.dtype == jnp.float32 else x.dtype
+    if style == "relative":
+        # Transformer-XL scores (1901.02860 §3.3): content term with bias u,
+        # position term with bias v against the projected encodings; the
+        # pad-and-reshape shift trick becomes one static gather
+        # (bd[q, k] = bd_raw[q, T-1-q+k]).
+        pe = pos.astype(x.dtype)
+        pos_proj = jnp.dot(
+            pe, p["linear_pos"]["kernel"].astype(x.dtype),
+            preferred_element_type=x.dtype,
+        ).reshape(2 * t - 1, nh, hd).transpose(1, 0, 2)  # [nh, 2T-1, hd]
+        bias_u = p["pos_bias_u"].astype(x.dtype)[None, :, None, :]
+        bias_v = p["pos_bias_v"].astype(x.dtype)[None, :, None, :]
+        ac = jnp.einsum(
+            "bhqd,bhkd->bhqk", q + bias_u, k, preferred_element_type=acc
+        )
+        bd = jnp.einsum(
+            "bhqd,hjd->bhqj", q + bias_v, pos_proj, preferred_element_type=acc
+        )  # [B, nh, T, 2T-1]
+        idx = (t - 1) - jnp.arange(t)[:, None] + jnp.arange(t)[None, :]
+        bd = jnp.take_along_axis(bd, idx[None, None], axis=-1)
+        scores = (ac + bd) / jnp.asarray(hd**0.5, acc)
+    else:
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=acc
+        ) / jnp.asarray(hd**0.5, acc)
+
+    if mask_bias is not None:
+        scores = scores + mask_bias.astype(scores.dtype)
+    # bf16 compute keeps the [B, H, T, T] scores in bf16 (same HBM-traffic
+    # rationale as _self_attention); f32 stays exact for the parity path
+    attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v, preferred_element_type=x.dtype)
+    out = out.transpose(0, 2, 1, 3).reshape(b, t, h)
+    return linear_maybe_quantized(out, p["linear_out"])
+
+
+def _conformer_conv_module(
+    p: dict,
+    x: jnp.ndarray,
+    cfg: Wav2Vec2ModelConfig,
+    frame_mask: jnp.ndarray | None,
+) -> jnp.ndarray:
+    """Wav2Vec2ConformerConvolutionModule parity: LN → pointwise (H→2H, no
+    bias) → GLU over channels → depthwise conv (kernel
+    conv_depthwise_kernel_size, SAME) → BatchNorm (running stats folded to a
+    per-channel affine at load) → act → pointwise (H→H, no bias).
+
+    The pointwise convs are kernel-1, i.e. plain matmuls in NHC layout (the
+    [2H, H, 1] torch weights were folded to [H, 2H] kernels at load). The
+    depthwise conv is the only cross-frame op: padded frames are re-zeroed
+    right before it so its taps see the zeros the unpadded run's own SAME
+    padding provides — padded batch == unpadded forward on valid frames.
+    """
+    from .layers import act_fn
+
+    h_dim = x.shape[-1]
+    # intra-layer norms are torch nn.LayerNorm defaults (eps 1e-5), not
+    # config.layer_norm_eps (Wav2Vec2ConformerConvolutionModule.__init__)
+    x = layer_norm(x, p["layer_norm"]["weight"], p["layer_norm"]["bias"], 1e-5)
+    x = jnp.dot(
+        x, p["pointwise_conv1"]["kernel"].astype(x.dtype),
+        preferred_element_type=x.dtype,
+    )
+    gate = jax.nn.sigmoid(x[..., h_dim:].astype(jnp.float32)).astype(x.dtype)
+    x = x[..., :h_dim] * gate
+    if frame_mask is not None:
+        x = x * frame_mask[:, :, None].astype(x.dtype)
+    k = cfg.conv_depthwise_kernel_size
+    w = p["depthwise_conv"]["weight"].transpose(2, 1, 0).astype(x.dtype)  # [K, 1, H]
+    x = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1,), padding=[((k - 1) // 2, (k - 1) // 2)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=h_dim,
+    )
+    bn = p["batch_norm"]
+    x = x * bn["scale"].astype(x.dtype) + bn["shift"].astype(x.dtype)
+    x = act_fn(cfg.hidden_act)(x)
+    return jnp.dot(
+        x, p["pointwise_conv2"]["kernel"].astype(x.dtype),
+        preferred_element_type=x.dtype,
+    )
+
+
+def _conformer_layer(
+    lp: dict,
+    x: jnp.ndarray,
+    mask_bias: jnp.ndarray | None,
+    cfg: Wav2Vec2ModelConfig,
+    pos,
+    frame_mask: jnp.ndarray | None,
+) -> jnp.ndarray:
+    """One conformer block (Wav2Vec2ConformerEncoderLayer parity):
+    half-step FFN → self-attention → conv module → half-step FFN → LN."""
+    from .layers import act_fn
+
+    act = act_fn(cfg.hidden_act)
+
+    def ff(fp, y):
+        up = act(linear_maybe_quantized(y, fp["intermediate_dense"]))
+        return linear_maybe_quantized(up, fp["output_dense"])
+
+    def ln(name, y):
+        return layer_norm(y, lp[name]["weight"], lp[name]["bias"], 1e-5)
+
+    half = jnp.asarray(0.5, x.dtype)
+    x = x + half * ff(lp["ffn1"], ln("ffn1_layer_norm", x))
+    x = x + _conformer_attention(
+        lp["self_attn"], ln("self_attn_layer_norm", x), mask_bias, cfg, pos
+    )
+    x = x + _conformer_conv_module(lp["conv_module"], x, cfg, frame_mask)
+    x = x + half * ff(lp["ffn2"], ln("ffn2_layer_norm", x))
+    return ln("final_layer_norm", x)
+
+
+def conformer_encoder_forward(
+    params: dict,
+    x: jnp.ndarray,
+    cfg: Wav2Vec2ModelConfig,
+    frame_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Wav2Vec2-Conformer encoder (transformers Wav2Vec2ConformerEncoder
+    parity): position embeddings (rotary / Transformer-XL relative / none)
+    computed once, conformer blocks, encoder-level LayerNorm AFTER the
+    layers. HF constructs a pos_conv_embed for this encoder but never calls
+    it in forward — checkpoints carry those weights unused; the loader
+    ignores them (models/params.py).
+
+    Layers are stacked and lax.scan-iterated like the other families."""
+    mask_bias = None
+    if frame_mask is not None:
+        x = x * frame_mask[:, :, None].astype(x.dtype)
+        mask_bias = jnp.where(
+            frame_mask[:, None, None, :].astype(bool), 0.0, -jnp.inf
+        ).astype(jnp.float32)
+
+    t = x.shape[1]
+    style = cfg.position_embeddings_type
+    if style == "rotary":
+        pos = _conformer_rotary(
+            t, cfg.hidden_size // cfg.num_attention_heads,
+            float(cfg.rotary_embedding_base),
+        )
+    elif style == "relative":
+        pos = _conformer_rel_pos_embeddings(t, cfg.hidden_size, x.dtype)
+    elif style == "none":
+        pos = None
+    else:
+        raise NotImplementedError(
+            f"position_embeddings_type {style!r} is not supported "
+            "(expected relative/rotary/none)"
+        )
+
+    def scan_body(h, lp):
+        return _conformer_layer(lp, h, mask_bias, cfg, pos, frame_mask), None
+
+    x, _ = jax.lax.scan(scan_body, x, params["layers"])
+    return layer_norm(
+        x, params["layer_norm"]["weight"], params["layer_norm"]["bias"],
+        cfg.layer_norm_eps,
+    )
 
 
 def adapter_forward(

@@ -47,6 +47,25 @@ def gelu(x: jnp.ndarray) -> jnp.ndarray:
     return (jnp.float32(0.5) * xf * (1.0 + erf)).astype(x.dtype)
 
 
+def silu(x: jnp.ndarray) -> jnp.ndarray:
+    """SiLU / swish (x · sigmoid(x)) — transformers ACT2FN["swish"], the
+    activation released Wav2Vec2-Conformer checkpoints use for the FFN and
+    conv-module. Evaluated in f32 (one exp + rcp; fuses into conv/matmul
+    epilogues under XLA, no erf-style lowering problem)."""
+    xf = x.astype(jnp.float32)
+    return (xf * jax.nn.sigmoid(xf)).astype(x.dtype)
+
+
+def act_fn(name: str):
+    """ACT2FN analog for the activations the supported families ship with."""
+    try:
+        return {"gelu": gelu, "swish": silu, "silu": silu}[name]
+    except KeyError:
+        raise NotImplementedError(
+            f"hidden_act {name!r} is not supported (expected gelu/swish)"
+        ) from None
+
+
 def layer_norm(
     x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray, eps: float
 ) -> jnp.ndarray:

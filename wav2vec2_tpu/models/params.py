@@ -132,8 +132,56 @@ def init_params(
             "output_norm": ln(h),
         }
 
+    def conformer_enc_layer():
+        k = cfg.conv_depthwise_kernel_size
+        self_attn = {
+            "linear_q": dense(h, h), "linear_k": dense(h, h),
+            "linear_v": dense(h, h), "linear_out": dense(h, h),
+        }
+        if getattr(cfg, "position_embeddings_type", "relative") == "relative":
+            hd = h // cfg.num_attention_heads
+            self_attn["linear_pos"] = {
+                "kernel": (jax.random.normal(next(k_it), (h, h))
+                           * (1.0 / h) ** 0.5).astype(dtype)
+            }
+            self_attn["pos_bias_u"] = jnp.zeros(
+                (cfg.num_attention_heads, hd), dtype)
+            self_attn["pos_bias_v"] = jnp.zeros(
+                (cfg.num_attention_heads, hd), dtype)
+        return {
+            "ffn1_layer_norm": ln(h),
+            "ffn1": {"intermediate_dense": dense(h, ffn),
+                     "output_dense": dense(ffn, h)},
+            "self_attn_layer_norm": ln(h),
+            "self_attn": self_attn,
+            "conv_module": {
+                "layer_norm": ln(h),
+                "pointwise_conv1": {"kernel": (
+                    jax.random.normal(next(k_it), (h, 2 * h))
+                    * (1.0 / h) ** 0.5).astype(dtype)},
+                "depthwise_conv": {"weight": (
+                    jax.random.normal(next(k_it), (h, 1, k))
+                    * (1.0 / k) ** 0.5).astype(dtype)},
+                # BatchNorm running stats fold to an identity affine at init
+                "batch_norm": {"scale": jnp.ones((h,), dtype),
+                               "shift": jnp.zeros((h,), dtype)},
+                "pointwise_conv2": {"kernel": (
+                    jax.random.normal(next(k_it), (h, h))
+                    * (1.0 / h) ** 0.5).astype(dtype)},
+            },
+            "ffn2_layer_norm": ln(h),
+            "ffn2": {"intermediate_dense": dense(h, ffn),
+                     "output_dense": dense(ffn, h)},
+            "final_layer_norm": ln(h),
+        }
+
     deberta = getattr(cfg, "attention_style", "wav2vec2") == "deberta"
-    layer_builder = sewd_enc_layer if deberta else enc_layer
+    conformer = getattr(cfg, "encoder_style", "wav2vec2") == "conformer"
+    layer_builder = (
+        sewd_enc_layer if deberta
+        else conformer_enc_layer if conformer
+        else enc_layer
+    )
     layers = [layer_builder() for _ in range(cfg.num_hidden_layers)]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
 
@@ -149,7 +197,9 @@ def init_params(
         "feature_extractor": {"conv_layers": conv_layers},
         "feature_projection": feature_projection,
         "encoder": {
-            "pos_conv_embed": pos_conv,
+            # the conformer encoder has no (used) positional conv — HF
+            # constructs one but never calls it in forward
+            **({} if conformer else {"pos_conv_embed": pos_conv}),
             # SEW-D's DeBERTa encoder has no encoder-level LayerNorm
             **({} if deberta else {"layer_norm": ln(h)}),
             "layers": stacked,
@@ -237,6 +287,14 @@ def params_from_flat_dict(
             name = "wav2vec2." + name[len("sew_d."):]
         elif name.startswith("sew."):
             name = "wav2vec2." + name[len("sew."):]
+        elif name.startswith("wav2vec2_conformer."):
+            name = "wav2vec2." + name[len("wav2vec2_conformer."):]
+        elif name.startswith("unispeech_sat."):
+            # UniSpeech / UniSpeech-SAT share wav2vec2's CTC graph exactly
+            # (transformers modular_unispeech{,_sat}.py)
+            name = "wav2vec2." + name[len("unispeech_sat."):]
+        elif name.startswith("unispeech."):
+            name = "wav2vec2." + name[len("unispeech."):]
         t[_POS_CONV_ALIASES.get(name, name)] = np.asarray(arr)
 
     def get(name):
@@ -265,7 +323,11 @@ def params_from_flat_dict(
             layer["layer_norm"] = ln(p + ".layer_norm")
         conv_layers.append(layer)
 
-    if has("wav2vec2.encoder.pos_conv_embed.layers.0.conv.weight"):
+    if getattr(cfg, "encoder_style", "wav2vec2") == "conformer":
+        # no used positional conv (see tree assembly below); checkpoints may
+        # or may not carry the unused HF weights — never read either way
+        pos_conv = None
+    elif has("wav2vec2.encoder.pos_conv_embed.layers.0.conv.weight"):
         # data2vec-audio: stacked positional convs (no weight norm),
         # leading axis L for the lax.scan in pos_conv_stack_forward
         stack = []
@@ -348,14 +410,68 @@ def params_from_flat_dict(
             "output_norm": ln(p + ".output.LayerNorm"),
         }
 
+    def conformer_layer(i):
+        p = f"wav2vec2.encoder.layers.{i}"
+        self_attn = {
+            k: dense(f"{p}.self_attn.{k}")
+            for k in ("linear_q", "linear_k", "linear_v", "linear_out")
+        }
+        if has(p + ".self_attn.linear_pos.weight"):
+            # Transformer-XL relative attention extras (linear_pos has no
+            # bias; pos_bias_u/v are [num_heads, head_dim] parameters)
+            self_attn["linear_pos"] = {
+                "kernel": get(p + ".self_attn.linear_pos.weight").T
+            }
+            self_attn["pos_bias_u"] = get(p + ".self_attn.pos_bias_u")
+            self_attn["pos_bias_v"] = get(p + ".self_attn.pos_bias_v")
+        cm = f"{p}.conv_module"
+        # inference BatchNorm folds to a per-channel affine (torch eps 1e-5)
+        gamma = get(cm + ".batch_norm.weight")
+        beta = get(cm + ".batch_norm.bias")
+        mean = get(cm + ".batch_norm.running_mean")
+        var = get(cm + ".batch_norm.running_var")
+        scale = gamma / np.sqrt(var + 1e-5)
+        return {
+            "ffn1_layer_norm": ln(p + ".ffn1_layer_norm"),
+            "ffn1": {
+                "intermediate_dense": dense(p + ".ffn1.intermediate_dense"),
+                "output_dense": dense(p + ".ffn1.output_dense"),
+            },
+            "self_attn_layer_norm": ln(p + ".self_attn_layer_norm"),
+            "self_attn": self_attn,
+            "conv_module": {
+                "layer_norm": ln(cm + ".layer_norm"),
+                # kernel-1 convs fold to [in, out] matmul kernels
+                "pointwise_conv1": {"kernel": get(
+                    cm + ".pointwise_conv1.weight")[:, :, 0].T},
+                "depthwise_conv": {"weight": get(
+                    cm + ".depthwise_conv.weight")},
+                "batch_norm": {
+                    "scale": scale.astype(dtype),
+                    "shift": (beta - mean * scale).astype(dtype),
+                },
+                "pointwise_conv2": {"kernel": get(
+                    cm + ".pointwise_conv2.weight")[:, :, 0].T},
+            },
+            "ffn2_layer_norm": ln(p + ".ffn2_layer_norm"),
+            "ffn2": {
+                "intermediate_dense": dense(p + ".ffn2.intermediate_dense"),
+                "output_dense": dense(p + ".ffn2.output_dense"),
+            },
+            "final_layer_norm": ln(p + ".final_layer_norm"),
+        }
+
     deberta = getattr(cfg, "attention_style", "wav2vec2") == "deberta"
+    conformer = getattr(cfg, "encoder_style", "wav2vec2") == "conformer"
     if deberta and has("wav2vec2.encoder.encoder.conv.conv.weight"):
         raise RuntimeBackendError(
             "load weights",
             "SEW-D checkpoints with a DeBERTa ConvLayer (conv_kernel_size>0) "
             "are not supported; no released SEW-D speech checkpoint uses one",
         )
-    layer_builder = sewd_layer if deberta else enc_layer
+    layer_builder = (
+        sewd_layer if deberta else conformer_layer if conformer else enc_layer
+    )
     layers = [layer_builder(i) for i in range(cfg.num_hidden_layers)]
     stacked = jax.tree.map(lambda *xs: np.stack(xs), *layers)
 
@@ -380,7 +496,10 @@ def params_from_flat_dict(
         "feature_extractor": {"conv_layers": conv_layers},
         "feature_projection": feature_projection,
         "encoder": {
-            "pos_conv_embed": pos_conv,
+            # conformer checkpoints carry pos_conv_embed weights that the HF
+            # forward never uses (Wav2Vec2ConformerEncoder constructs but
+            # does not call it) — dropped here rather than shipped to device
+            **({} if conformer else {"pos_conv_embed": pos_conv}),
             # required for every family except SEW-D (its DeBERTa encoder
             # has no encoder-level LayerNorm) — config-gated so a broken
             # checkpoint fails loudly instead of silently skipping the norm

@@ -214,6 +214,69 @@ def sew_d_base(vocab_size: int = 32) -> Wav2Vec2ModelConfig:
     )
 
 
+def wav2vec2_conformer_rope_large_960h(vocab_size: int = 32) -> Wav2Vec2ModelConfig:
+    """facebook/wav2vec2-conformer-rope-large-960h-ft: conformer blocks
+    (FFN-half / attn / depthwise-conv module / FFN-half) with rotary
+    position embeddings and swish activations."""
+    return Wav2Vec2ModelConfig.from_dict(
+        dict(
+            hidden_size=1024, num_hidden_layers=24, num_attention_heads=16,
+            intermediate_size=4096, conv_dim=[512] * 7, **_CONV_7,
+            pad_token_id=0, vocab_size=vocab_size,
+            feat_extract_norm="layer", conv_bias=True,
+            model_type="wav2vec2-conformer",
+            position_embeddings_type="rotary", hidden_act="swish",
+            conv_depthwise_kernel_size=31,
+        )
+    )
+
+
+def wav2vec2_conformer_rel_pos_large_960h(vocab_size: int = 32) -> Wav2Vec2ModelConfig:
+    """facebook/wav2vec2-conformer-rel-pos-large-960h-ft: same geometry with
+    Transformer-XL relative position attention (linear_pos + pos_bias_u/v)."""
+    return Wav2Vec2ModelConfig.from_dict(
+        dict(
+            hidden_size=1024, num_hidden_layers=24, num_attention_heads=16,
+            intermediate_size=4096, conv_dim=[512] * 7, **_CONV_7,
+            pad_token_id=0, vocab_size=vocab_size,
+            feat_extract_norm="layer", conv_bias=True,
+            model_type="wav2vec2-conformer",
+            position_embeddings_type="relative", hidden_act="swish",
+            conv_depthwise_kernel_size=31, max_source_positions=5000,
+        )
+    )
+
+
+def unispeech_sat_base_100h(vocab_size: int = 32) -> Wav2Vec2ModelConfig:
+    """microsoft/unispeech-sat-base-100h-libri-ft: wav2vec2-base CTC graph
+    exactly (transformers modular_unispeech_sat.py inherits every module);
+    only the checkpoint prefix differs (models/params.py)."""
+    return Wav2Vec2ModelConfig.from_dict(
+        dict(
+            hidden_size=768, num_hidden_layers=12, num_attention_heads=12,
+            intermediate_size=3072, conv_dim=[512] * 7, **_CONV_7,
+            pad_token_id=0, vocab_size=vocab_size,
+            do_stable_layer_norm=False, feat_extract_norm="group",
+            conv_bias=False, model_type="unispeech-sat",
+        )
+    )
+
+
+def unispeech_large_phoneme(vocab_size: int) -> Wav2Vec2ModelConfig:
+    """microsoft/unispeech-1350-en-*-ft multilingual phoneme-CTC fine-tunes
+    (large pre-norm geometry; vocab is a phoneme set — pair with the CLI's
+    --units phoneme mode)."""
+    return Wav2Vec2ModelConfig.from_dict(
+        dict(
+            hidden_size=1024, num_hidden_layers=24, num_attention_heads=16,
+            intermediate_size=4096, conv_dim=[512] * 7, **_CONV_7,
+            pad_token_id=0, vocab_size=vocab_size,
+            do_stable_layer_norm=True, feat_extract_norm="layer",
+            conv_bias=True, model_type="unispeech",
+        )
+    )
+
+
 PRESETS = {
     "wav2vec2-base-960h": wav2vec2_base_960h,
     "wav2vec2-large-960h-lv60": wav2vec2_large_960h_lv60,
@@ -228,4 +291,9 @@ PRESETS = {
     "wav2vec2-large-adapter": wav2vec2_large_adapter,
     "sew-base": sew_base,
     "sew-d-base": sew_d_base,
+    "wav2vec2-conformer-rope-large-960h": wav2vec2_conformer_rope_large_960h,
+    "wav2vec2-conformer-rel-pos-large-960h":
+        wav2vec2_conformer_rel_pos_large_960h,
+    "unispeech-sat-base-100h": unispeech_sat_base_100h,
+    "unispeech-large-phoneme": unispeech_large_phoneme,
 }

@@ -130,6 +130,8 @@ def cast_compute_weights_bf16(params: dict):
     actually halve the transfer (params_from_flat_dict's
     compute_weights_dtype does this)."""
     KEEP_F32_KEYS = {"layer_norm", "final_layer_norm", "norm",
+                     "ffn1_layer_norm", "ffn2_layer_norm",
+                     "self_attn_layer_norm",  # conformer LNs (f32-consumed)
                      "rel_attn_embed", "gru_rel_pos_const",
                      "scale"}  # int8 dequant scales stay f32
 

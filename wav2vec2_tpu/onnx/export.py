@@ -117,6 +117,11 @@ def export_ctc_model(cfg: Wav2Vec2ModelConfig, params: dict) -> Model:
             "onnx export", "MMS attention adapters are not part of the ONNX "
             "export surface; use the XLA backend for MMS"
         )
+    if getattr(cfg, "encoder_style", "wav2vec2") == "conformer":
+        raise RuntimeBackendError(
+            "onnx export", "conformer encoders are not part of the ONNX "
+            "export surface; use the XLA backend for Wav2Vec2-Conformer"
+        )
     if getattr(cfg, "encoder_style", "wav2vec2") != "wav2vec2":
         raise RuntimeBackendError(
             "onnx export", "SEW/SEW-D squeezed encoders are not part of the "

@@ -58,6 +58,20 @@ def param_shardings(params: dict, mesh: Mesh) -> dict:
                     pspec = P(None, None, "model")
                 else:  # q/k/v bias [L, H]
                     pspec = P(None, "model")
+            elif {"linear_q", "linear_k", "linear_v", "linear_pos"} & set(keys):
+                # conformer attention: q/k/v and the rel-pos projection all
+                # shard the head-output axis (pos_bias_u/v shard heads below)
+                if "kernel" in keys:
+                    pspec = P(None, None, "model")
+                else:
+                    pspec = P(None, "model")
+            elif "linear_out" in keys:
+                # attention output projection: shard the input axis → the
+                # block ends in one psum
+                pspec = P(None, "model", None) if leaf.ndim == 3 else P()
+            elif {"pos_bias_u", "pos_bias_v"} & set(keys):
+                # [L, num_heads, head_dim]: heads split like q/k/v outputs
+                pspec = P(None, "model", None)
             elif {"query_proj", "key_proj", "value_proj"} & set(keys):
                 # SEW-D DeBERTa attention: same Megatron split, different
                 # names (q/k/v shard the head-output axis; share_att_key

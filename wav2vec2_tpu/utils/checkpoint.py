@@ -49,6 +49,10 @@ def hf_weight_prefix(cfg, family: str | None = None) -> str:
             "wav2vec2": "wav2vec2", "hubert": "hubert",
             "data2vec-audio": "data2vec_audio", "wavlm": "wavlm",
             "sew": "sew", "sew-d": "sew_d",
+            "wav2vec2-conformer": "wav2vec2_conformer",
+            # UniSpeech/-SAT share wav2vec2's graph; like HuBERT they are
+            # only reachable via an explicit family= (cfg is identical)
+            "unispeech": "unispeech", "unispeech-sat": "unispeech_sat",
         }
         if family not in prefixes:
             raise ValueError(
@@ -56,6 +60,8 @@ def hf_weight_prefix(cfg, family: str | None = None) -> str:
                 f"{sorted(prefixes)})"
             )
         return prefixes[family]
+    if getattr(cfg, "encoder_style", "wav2vec2") == "conformer":
+        return "wav2vec2_conformer"
     if getattr(cfg, "encoder_style", "wav2vec2") == "sew":
         if getattr(cfg, "attention_style", "wav2vec2") == "deberta":
             return "sew_d"
@@ -117,8 +123,10 @@ def params_to_hf_flat_dict(
             fp["projection"]["bias"])
 
     enc = params["encoder"]
-    pce = enc["pos_conv_embed"]
-    if "layers" in pce:
+    pce = enc.get("pos_conv_embed")  # absent for conformer (unused in HF)
+    if pce is None:
+        pass
+    elif "layers" in pce:
         # data2vec-audio stacked positional convs (leading axis L)
         n_pos = int(np.asarray(pce["layers"]["weight"]).shape[0])
         for i in range(n_pos):
@@ -163,6 +171,61 @@ def params_to_hf_flat_dict(
                 enc["rel_embeddings_layer_norm"]["bias"])
 
     stacked = enc["layers"]
+    if "ffn1" in stacked:
+        # conformer blocks; pointwise matmul kernels are re-expanded to the
+        # torch [out, in, 1] conv weights, the folded BatchNorm affine is
+        # re-exported as inference running stats (mean=0, var=1-eps so
+        # sqrt(var+eps)=1 exactly, weight=scale, bias=shift)
+        n_layers = int(np.asarray(
+            stacked["self_attn"]["linear_q"]["kernel"]).shape[0])
+        for i in range(n_layers):
+            p = f"{root}.encoder.layers.{i}"
+            for proj in ("linear_q", "linear_k", "linear_v", "linear_out"):
+                put(f"{p}.self_attn.{proj}.weight",
+                    np.asarray(stacked["self_attn"][proj]["kernel"][i]).T)
+                put(f"{p}.self_attn.{proj}.bias",
+                    stacked["self_attn"][proj]["bias"][i])
+            if "linear_pos" in stacked["self_attn"]:
+                put(f"{p}.self_attn.linear_pos.weight",
+                    np.asarray(
+                        stacked["self_attn"]["linear_pos"]["kernel"][i]).T)
+                put(f"{p}.self_attn.pos_bias_u",
+                    stacked["self_attn"]["pos_bias_u"][i])
+                put(f"{p}.self_attn.pos_bias_v",
+                    stacked["self_attn"]["pos_bias_v"][i])
+            for ffn in ("ffn1", "ffn2"):
+                put(f"{p}.{ffn}_layer_norm.weight",
+                    stacked[f"{ffn}_layer_norm"]["weight"][i])
+                put(f"{p}.{ffn}_layer_norm.bias",
+                    stacked[f"{ffn}_layer_norm"]["bias"][i])
+                for name in ("intermediate_dense", "output_dense"):
+                    put(f"{p}.{ffn}.{name}.weight",
+                        np.asarray(stacked[ffn][name]["kernel"][i]).T)
+                    put(f"{p}.{ffn}.{name}.bias", stacked[ffn][name]["bias"][i])
+            for lnn in ("self_attn_layer_norm", "final_layer_norm"):
+                put(f"{p}.{lnn}.weight", stacked[lnn]["weight"][i])
+                put(f"{p}.{lnn}.bias", stacked[lnn]["bias"][i])
+            cm = stacked["conv_module"]
+            put(f"{p}.conv_module.layer_norm.weight",
+                cm["layer_norm"]["weight"][i])
+            put(f"{p}.conv_module.layer_norm.bias", cm["layer_norm"]["bias"][i])
+            put(f"{p}.conv_module.pointwise_conv1.weight",
+                np.asarray(cm["pointwise_conv1"]["kernel"][i]).T[:, :, None])
+            put(f"{p}.conv_module.pointwise_conv2.weight",
+                np.asarray(cm["pointwise_conv2"]["kernel"][i]).T[:, :, None])
+            put(f"{p}.conv_module.depthwise_conv.weight",
+                cm["depthwise_conv"]["weight"][i])
+            scale = np.asarray(cm["batch_norm"]["scale"][i])
+            shift = np.asarray(cm["batch_norm"]["shift"][i])
+            bn = f"{p}.conv_module.batch_norm"
+            put(bn + ".weight", scale)
+            put(bn + ".bias", shift)
+            put(bn + ".running_mean", np.zeros_like(scale))
+            put(bn + ".running_var", np.full_like(scale, 1.0 - 1e-5))
+            put(bn + ".num_batches_tracked", np.asarray(0, dtype=np.int64))
+        put("lm_head.weight", np.asarray(params["lm_head"]["kernel"]).T)
+        put("lm_head.bias", params["lm_head"]["bias"])
+        return out
     if "query_proj" in stacked["attention"]:
         # SEW-D DeBERTa layers live under encoder.encoder.layer.N with
         # BERT-style inner names (attention.self / attention.output /
