@@ -75,7 +75,8 @@ def test_safetensors_file_roundtrip(tiny, tmp_path):
 
 @pytest.mark.parametrize(
     "family", ["wavlm_adapter", "data2vec", "hubert_no_ln", "hubert_bn_pos",
-               "conv_adapter", "conformer_rel", "conformer_rotary"])
+               "conv_adapter", "conformer_rel", "conformer_rotary",
+               "w2v_bert"])
 def test_safetensors_roundtrip_new_families(tmp_path, family):
     """params_to_hf_flat_dict must invert params_from_flat_dict for every
     model family (WavLM gates/bias embed, MMS adapters, data2vec pos-conv
@@ -112,6 +113,16 @@ def test_safetensors_roundtrip_new_families(tmp_path, family):
                     position_embeddings_type=family.split("_")[1].replace(
                         "rel", "relative"),
                     hidden_act="swish", conv_depthwise_kernel_size=7)
+    elif family == "w2v_bert":
+        base.update(model_type="wav2vec2-bert",
+                    position_embeddings_type="relative_key",
+                    left_max_position_embeddings=8,
+                    right_max_position_embeddings=2,
+                    hidden_act="swish", conv_depthwise_kernel_size=7,
+                    add_adapter=True, adapter_kernel_size=3,
+                    adapter_stride=2, num_adapter_layers=1,
+                    output_hidden_size=24,
+                    use_intermediate_ffn_before_adapter=True)
     else:
         base.update(feat_proj_layer_norm=False)
     cfg = Wav2Vec2ModelConfig.from_dict(base)
@@ -138,7 +149,8 @@ def test_safetensors_roundtrip_new_families(tmp_path, family):
                 "hubert_bn_pos": "wav2vec2.",
                 "conv_adapter": "wav2vec2.",
                 "conformer_rel": "wav2vec2_conformer.",
-                "conformer_rotary": "wav2vec2_conformer."}[family]
+                "conformer_rotary": "wav2vec2_conformer.",
+                "w2v_bert": "wav2vec2_bert."}[family]
     flat = params_to_hf_flat_dict(params, cfg)
     assert all(k.startswith((expected, "lm_head.")) for k in flat), sorted(flat)[:3]
     assert any(k.startswith(expected) for k in flat)

@@ -114,6 +114,19 @@ class Wav2Vec2ModelConfig:
     max_source_positions: int = 5000
     conv_depthwise_kernel_size: int = 31
     hidden_act: str = "gelu"
+    # Wav2Vec2-BERT (w2v-BERT 2.0, Wav2Vec2BertConfig): log-mel frontend
+    # instead of the conv feature extractor (models/mel.py), conformer
+    # blocks with a causal depthwise conv + LayerNorm (no BatchNorm),
+    # "relative_key" clamped-distance-embedding attention, optional
+    # intermediate FFN and a conformer-style downsampling adapter; detected
+    # from config.json model_type ("wav2vec2-bert" sets
+    # encoder_style="conformer_bert" and frontend_style="mel")
+    frontend_style: str = "conv"  # "conv" | "mel"
+    feature_projection_input_dim: int = 160
+    left_max_position_embeddings: int = 64
+    right_max_position_embeddings: int = 8
+    use_intermediate_ffn_before_adapter: bool = False
+    adapter_act: str = "relu"
 
     @classmethod
     def from_dict(cls, d: dict) -> "Wav2Vec2ModelConfig":
@@ -123,6 +136,12 @@ class Wav2Vec2ModelConfig:
             "num_conv_pos_embeddings", "num_conv_pos_embedding_groups",
             "pad_token_id", "vocab_size",
         ]
+        if d.get("model_type") == "wav2vec2-bert":
+            # the mel frontend has no conv stack — Wav2Vec2BertConfig ships
+            # none of the conv_* fields
+            d = {**{"conv_dim": [], "conv_kernel": [], "conv_stride": [],
+                    "num_conv_pos_embeddings": 0,
+                    "num_conv_pos_embedding_groups": 1}, **d}
         missing = [k for k in required if k not in d]
         if missing:
             raise JsonError("parse config.json", f"missing fields: {missing}")
@@ -139,7 +158,10 @@ class Wav2Vec2ModelConfig:
                     "max_position_embeddings", "share_att_key",
                     "norm_rel_ebd", "rotary_embedding_base",
                     "max_source_positions", "conv_depthwise_kernel_size",
-                    "hidden_act"]:
+                    "hidden_act", "feature_projection_input_dim",
+                    "left_max_position_embeddings",
+                    "right_max_position_embeddings",
+                    "use_intermediate_ffn_before_adapter", "adapter_act"]:
             if opt in d and d[opt] is not None:
                 kwargs[opt] = d[opt]
         if "pos_att_type" in d and d["pos_att_type"] is not None:
@@ -163,6 +185,19 @@ class Wav2Vec2ModelConfig:
             kwargs["position_embeddings_type"] = (
                 d.get("position_embeddings_type") or "none"
             )
+        if d.get("model_type") == "wav2vec2-bert":
+            kwargs["encoder_style"] = "conformer_bert"
+            kwargs["frontend_style"] = "mel"
+            kwargs["position_embeddings_type"] = (
+                d.get("position_embeddings_type") or "none"
+            )
+            kwargs.setdefault("hidden_act", "swish")
+            # Wav2Vec2BertConfig defaults that differ from wav2vec2's
+            # (num_adapter_layers 1 vs 3; output_hidden_size follows
+            # hidden_size when unset)
+            kwargs.setdefault("num_adapter_layers", 1)
+            if kwargs.get("output_hidden_size") is None:
+                kwargs["output_hidden_size"] = d["hidden_size"]
         # UniSpeech / UniSpeech-SAT share wav2vec2's CTC graph exactly
         # (transformers modular_unispeech{,_sat}.py: every module inherits
         # the Wav2Vec2 one) — only the checkpoint prefix differs, handled in
@@ -188,10 +223,15 @@ class Wav2Vec2ModelConfig:
         add_adapter models emit adapter_stride**num_adapter_layers-coarser
         frames (the GLU conv stack downsamples after the encoder); SEW's
         squeeze/upsample cancels out (the upsampler restores the conv rate).
+        The mel frontend (w2v-BERT) emits 160-sample hops stacked ×2
+        (= 20 ms at 16 kHz, same as wav2vec2's conv stack).
         """
-        stride_samples = 1
-        for s in self.conv_stride:
-            stride_samples *= s
+        if getattr(self, "frontend_style", "conv") == "mel":
+            stride_samples = 160 * 2
+        else:
+            stride_samples = 1
+            for s in self.conv_stride:
+                stride_samples *= s
         if self.add_adapter:
             stride_samples *= self.adapter_stride ** self.num_adapter_layers
         return stride_samples / sample_rate * 1000.0
@@ -201,12 +241,25 @@ class Wav2Vec2ModelConfig:
         input samples (no padding, per conv layer: floor((L - K)/stride) + 1;
         adapter layers use HF's (L - 1)//stride + 1, exact for their
         kernel-3/pad-1 convs)."""
-        length = num_samples
-        for k, s in zip(self.conv_kernel, self.conv_stride):
-            length = (length - k) // s + 1
+        if getattr(self, "frontend_style", "conv") == "mel":
+            # 25 ms/10 ms frames (center=False), stacked ×2 (models/mel.py)
+            length = (
+                (1 + (num_samples - 400) // 160) // 2
+                if num_samples >= 400 else 0
+            )
+        else:
+            length = num_samples
+            for k, s in zip(self.conv_kernel, self.conv_stride):
+                length = (length - k) // s + 1
         if self.add_adapter:
             for _ in range(self.num_adapter_layers):
-                length = (length - 1) // self.adapter_stride + 1
+                if getattr(self, "frontend_style", "conv") == "mel":
+                    length = (
+                        length + 2 * (self.adapter_stride // 2)
+                        - self.adapter_kernel_size
+                    ) // self.adapter_stride + 1
+                else:
+                    length = (length - 1) // self.adapter_stride + 1
         return max(length, 0)
 
 

@@ -21,6 +21,8 @@ import jax.numpy as jnp
 from ..config import Wav2Vec2ModelConfig
 from .encoder import (
     adapter_forward,
+    bert_adapter_forward,
+    conformer_bert_encoder_forward,
     conformer_encoder_forward,
     encoder_forward,
     sew_encoder_forward,
@@ -48,12 +50,21 @@ def wav2vec2_forward(
     precision = "highest" if compute_dtype == jnp.float32 else "default"
     with jax.default_matmul_precision(precision):
         x = audio.astype(compute_dtype)
-        feats = feature_extractor_forward(
-            params["feature_extractor"], x, cfg, audio_lens=audio_lens
-        )
-        hidden = feature_projection_forward(
-            params["feature_projection"], feats.transpose(0, 2, 1), cfg
-        )
+        if getattr(cfg, "frontend_style", "conv") == "mel":
+            # w2v-BERT: log-mel frontend (models/mel.py) → LN+projection
+            from .mel import mel_frontend
+
+            feats, _ = mel_frontend(x, cfg, audio_lens=audio_lens)
+            hidden = feature_projection_forward(
+                params["feature_projection"], feats.astype(compute_dtype), cfg
+            )
+        else:
+            feats = feature_extractor_forward(
+                params["feature_extractor"], x, cfg, audio_lens=audio_lens
+            )
+            hidden = feature_projection_forward(
+                params["feature_projection"], feats.transpose(0, 2, 1), cfg
+            )
 
         frame_mask = None
         conv_lens = None
@@ -62,22 +73,40 @@ def wav2vec2_forward(
             conv_lens = conv_frame_lengths(cfg, audio_lens)
             frame_mask = jnp.arange(t)[None, :] < conv_lens[:, None]
 
-        if getattr(cfg, "encoder_style", "wav2vec2") == "sew":
+        style = getattr(cfg, "encoder_style", "wav2vec2")
+        if style == "sew":
             hidden = sew_encoder_forward(
                 params["encoder"], hidden, cfg, frame_mask=frame_mask
             )
-        elif getattr(cfg, "encoder_style", "wav2vec2") == "conformer":
+        elif style == "conformer":
             hidden = conformer_encoder_forward(
+                params["encoder"], hidden, cfg, frame_mask=frame_mask
+            )
+        elif style == "conformer_bert":
+            hidden = conformer_bert_encoder_forward(
                 params["encoder"], hidden, cfg, frame_mask=frame_mask
             )
         else:
             hidden = encoder_forward(
                 params["encoder"], hidden, cfg, frame_mask=frame_mask
             )
+        if "intermediate_ffn" in params:
+            # w2v-BERT use_intermediate_ffn_before_adapter (relu, half-step)
+            p = params["intermediate_ffn"]
+            up = jnp.maximum(
+                linear(hidden, p["intermediate_dense"]["kernel"],
+                       p["intermediate_dense"]["bias"]), 0)
+            hidden = hidden + 0.5 * linear(
+                up, p["output_dense"]["kernel"], p["output_dense"]["bias"])
         if cfg.add_adapter:
-            hidden = adapter_forward(
-                params["adapter"], hidden, cfg, frame_lens=conv_lens
-            )
+            if style == "conformer_bert":
+                hidden, _ = bert_adapter_forward(
+                    params["adapter"], hidden, cfg, frame_lens=conv_lens
+                )
+            else:
+                hidden = adapter_forward(
+                    params["adapter"], hidden, cfg, frame_lens=conv_lens
+                )
         logits = linear(hidden, params["lm_head"]["kernel"], params["lm_head"]["bias"])
         return logits.astype(jnp.float32)
 
@@ -87,6 +116,8 @@ def conv_frame_lengths(
 ) -> jnp.ndarray:
     """Feature-extractor output lengths (pre-adapter) — the rate the encoder
     runs at, used for its frame mask."""
+    if getattr(cfg, "frontend_style", "conv") == "mel":
+        return jnp.maximum(1 + (audio_lens - 400) // 160, 0) // 2
     lens = audio_lens
     for k, s in zip(cfg.conv_kernel, cfg.conv_stride):
         lens = (lens - k) // s + 1
@@ -99,7 +130,15 @@ def frame_lengths(cfg: Wav2Vec2ModelConfig, audio_lens: jnp.ndarray) -> jnp.ndar
     lens = conv_frame_lengths(cfg, audio_lens)
     if getattr(cfg, "add_adapter", False):
         for _ in range(cfg.num_adapter_layers):
-            lens = (lens - 1) // cfg.adapter_stride + 1
+            if getattr(cfg, "frontend_style", "conv") == "mel":
+                # w2v-BERT adapter convs: pad stride//2, kernel
+                # adapter_kernel_size (Wav2Vec2BertAdapter sub-sample rule)
+                lens = (
+                    lens + 2 * (cfg.adapter_stride // 2)
+                    - cfg.adapter_kernel_size
+                ) // cfg.adapter_stride + 1
+            else:
+                lens = (lens - 1) // cfg.adapter_stride + 1
     return lens
 
 
@@ -172,6 +211,12 @@ class _FrozenCfg:
                 getattr(cfg, "rotary_embedding_base", 10000),
                 getattr(cfg, "conv_depthwise_kernel_size", 31),
                 getattr(cfg, "hidden_act", "gelu"),
+                getattr(cfg, "frontend_style", "conv"),
+                getattr(cfg, "feature_projection_input_dim", 160),
+                getattr(cfg, "left_max_position_embeddings", 64),
+                getattr(cfg, "right_max_position_embeddings", 8),
+                getattr(cfg, "use_intermediate_ffn_before_adapter", False),
+                getattr(cfg, "adapter_act", "relu"),
             ),
         )
 

@@ -504,16 +504,21 @@ def _conformer_attention(
     mask_bias: jnp.ndarray | None,
     cfg: Wav2Vec2ModelConfig,
     pos: tuple | jnp.ndarray | None,
+    style: str | None = None,
 ) -> jnp.ndarray:
-    """Wav2Vec2ConformerSelfAttention parity. `pos` is (cos, sin) tables for
-    rotary, the [2T-1, H] encoding for relative, None otherwise. Unlike the
-    wav2vec2 attention, the query is NOT pre-scaled — scores divide by
-    sqrt(head_dim) after the position terms are added (torch op order, kept
-    for f32 bit-closeness)."""
+    """Wav2Vec2ConformerSelfAttention / Wav2Vec2BertSelfAttention parity.
+    `pos` is (cos, sin) tables for rotary, the [2T-1, H] encoding for
+    relative, None otherwise ("relative_key" carries its clamped-distance
+    embedding in the params). Unlike the wav2vec2 attention, the query is
+    NOT pre-scaled — scores divide by sqrt(head_dim) after the position
+    terms are added (torch op order, kept for f32 bit-closeness).
+    `style` overrides cfg.position_embeddings_type (the w2v-BERT adapter
+    attention runs position-free)."""
     b, t, h = x.shape
     nh = cfg.num_attention_heads
     hd = h // nh
-    style = cfg.position_embeddings_type
+    if style is None:
+        style = cfg.position_embeddings_type
 
     qk_states = x
     if style == "rotary":
@@ -552,13 +557,34 @@ def _conformer_attention(
         bd = jnp.einsum(
             "bhqd,hjd->bhqj", q + bias_v, pos_proj, preferred_element_type=acc
         )  # [B, nh, T, 2T-1]
-        idx = (t - 1) - jnp.arange(t)[:, None] + jnp.arange(t)[None, :]
-        bd = jnp.take_along_axis(bd, idx[None, None], axis=-1)
+        # the Transformer-XL shift (bd[q, k] = bd_raw[q, T-1-q+k]) as
+        # pad + reshape + slice: the reshape is a free buffer
+        # reinterpretation, so this costs two layout copies where a
+        # take_along_axis gather measures ~2× slower standalone and
+        # pathologically worse under lax.scan (~50 ms/layer at B=32,
+        # T=499 — the broadcasted [T, T] index defeats Mosaic's layout
+        # propagation; see BENCHMARKS.md round-4 conformer notes)
+        bd = jnp.pad(bd, ((0, 0), (0, 0), (0, 0), (1, 0)))
+        bd = bd.reshape(b, nh, 2 * t, t)[:, :, 1:, :]
+        bd = bd.reshape(b, nh, t, 2 * t - 1)[..., :t]
         scores = (ac + bd) / jnp.asarray(hd**0.5, acc)
     else:
         scores = jnp.einsum(
             "bhqd,bhkd->bhqk", q, k, preferred_element_type=acc
         ) / jnp.asarray(hd**0.5, acc)
+
+    if style == "relative_key":
+        # w2v-BERT: an embedding over clamped relative distances
+        # (Wav2Vec2BertSelfAttention, distance ∈ [-left_max, right_max])
+        left = cfg.left_max_position_embeddings
+        right = cfg.right_max_position_embeddings
+        dist = jnp.clip(
+            jnp.arange(t)[None, :] - jnp.arange(t)[:, None], -left, right
+        )
+        posemb = p["distance_embedding"][dist + left].astype(x.dtype)
+        rel = jnp.einsum("bhld,lrd->bhlr", q, posemb,
+                         preferred_element_type=acc)
+        scores = scores + rel / jnp.asarray(hd**0.5, acc)
 
     if mask_bias is not None:
         scores = scores + mask_bias.astype(scores.dtype)
@@ -586,30 +612,48 @@ def _conformer_conv_module(
     depthwise conv is the only cross-frame op: padded frames are re-zeroed
     right before it so its taps see the zeros the unpadded run's own SAME
     padding provides — padded batch == unpadded forward on valid frames.
+
+    w2v-BERT variant (Wav2Vec2BertConvolutionModule, `bert=True`): the
+    depthwise conv is CAUSAL (left pad K-1, no right pad) and followed by a
+    LayerNorm over channels instead of BatchNorm; all LNs use the config
+    epsilon. Causality means the padded tail cannot leak left, but masking
+    is kept for exact zero parity with HF's masked_fill.
     """
     from .layers import act_fn
 
+    bert = getattr(cfg, "encoder_style", "") == "conformer_bert"
+    # conformer's intra-layer norms are torch nn.LayerNorm defaults
+    # (eps 1e-5, Wav2Vec2ConformerConvolutionModule.__init__); w2v-BERT
+    # passes config.layer_norm_eps everywhere
+    eps = cfg.layer_norm_eps if bert else 1e-5
     h_dim = x.shape[-1]
-    # intra-layer norms are torch nn.LayerNorm defaults (eps 1e-5), not
-    # config.layer_norm_eps (Wav2Vec2ConformerConvolutionModule.__init__)
-    x = layer_norm(x, p["layer_norm"]["weight"], p["layer_norm"]["bias"], 1e-5)
+    x = layer_norm(x, p["layer_norm"]["weight"], p["layer_norm"]["bias"], eps)
+    if bert and frame_mask is not None:
+        # HF masks at module entry (conv_attention_mask) — before the
+        # pointwise conv rather than before the depthwise conv
+        x = x * frame_mask[:, :, None].astype(x.dtype)
     x = jnp.dot(
         x, p["pointwise_conv1"]["kernel"].astype(x.dtype),
         preferred_element_type=x.dtype,
     )
     gate = jax.nn.sigmoid(x[..., h_dim:].astype(jnp.float32)).astype(x.dtype)
     x = x[..., :h_dim] * gate
-    if frame_mask is not None:
+    if not bert and frame_mask is not None:
         x = x * frame_mask[:, :, None].astype(x.dtype)
     k = cfg.conv_depthwise_kernel_size
     w = p["depthwise_conv"]["weight"].transpose(2, 1, 0).astype(x.dtype)  # [K, 1, H]
+    pad = (k - 1, 0) if bert else ((k - 1) // 2, (k - 1) // 2)
     x = jax.lax.conv_general_dilated(
-        x, w, window_strides=(1,), padding=[((k - 1) // 2, (k - 1) // 2)],
+        x, w, window_strides=(1,), padding=[pad],
         dimension_numbers=("NHC", "HIO", "NHC"),
         feature_group_count=h_dim,
     )
-    bn = p["batch_norm"]
-    x = x * bn["scale"].astype(x.dtype) + bn["shift"].astype(x.dtype)
+    if bert:
+        ln = p["depthwise_layer_norm"]
+        x = layer_norm(x, ln["weight"], ln["bias"], eps)
+    else:
+        bn = p["batch_norm"]
+        x = x * bn["scale"].astype(x.dtype) + bn["shift"].astype(x.dtype)
     x = act_fn(cfg.hidden_act)(x)
     return jnp.dot(
         x, p["pointwise_conv2"]["kernel"].astype(x.dtype),
@@ -625,18 +669,21 @@ def _conformer_layer(
     pos,
     frame_mask: jnp.ndarray | None,
 ) -> jnp.ndarray:
-    """One conformer block (Wav2Vec2ConformerEncoderLayer parity):
+    """One conformer block (Wav2Vec2ConformerEncoderLayer /
+    Wav2Vec2BertEncoderLayer parity):
     half-step FFN → self-attention → conv module → half-step FFN → LN."""
     from .layers import act_fn
 
     act = act_fn(cfg.hidden_act)
+    eps = (cfg.layer_norm_eps
+           if getattr(cfg, "encoder_style", "") == "conformer_bert" else 1e-5)
 
     def ff(fp, y):
         up = act(linear_maybe_quantized(y, fp["intermediate_dense"]))
         return linear_maybe_quantized(up, fp["output_dense"])
 
     def ln(name, y):
-        return layer_norm(y, lp[name]["weight"], lp[name]["bias"], 1e-5)
+        return layer_norm(y, lp[name]["weight"], lp[name]["bias"], eps)
 
     half = jnp.asarray(0.5, x.dtype)
     x = x + half * ff(lp["ffn1"], ln("ffn1_layer_norm", x))
@@ -694,6 +741,130 @@ def conformer_encoder_forward(
         x, params["layer_norm"]["weight"], params["layer_norm"]["bias"],
         cfg.layer_norm_eps,
     )
+
+
+def conformer_bert_encoder_forward(
+    params: dict,
+    x: jnp.ndarray,
+    cfg: Wav2Vec2ModelConfig,
+    frame_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """w2v-BERT encoder (transformers Wav2Vec2BertEncoder parity): conformer
+    blocks with relative_key / relative / rotary / no position embeddings,
+    NO positional conv and NO encoder-level LayerNorm after the layers
+    (each block ends in its own final LN)."""
+    mask_bias = None
+    if frame_mask is not None:
+        x = x * frame_mask[:, :, None].astype(x.dtype)
+        mask_bias = jnp.where(
+            frame_mask[:, None, None, :].astype(bool), 0.0, -jnp.inf
+        ).astype(jnp.float32)
+
+    t = x.shape[1]
+    style = cfg.position_embeddings_type
+    if style == "rotary":
+        pos = _conformer_rotary(
+            t, cfg.hidden_size // cfg.num_attention_heads,
+            float(cfg.rotary_embedding_base),
+        )
+    elif style == "relative":
+        pos = _conformer_rel_pos_embeddings(t, cfg.hidden_size, x.dtype)
+    elif style in ("relative_key", "none"):
+        pos = None  # relative_key reads its distance embedding per layer
+    else:
+        raise NotImplementedError(
+            f"position_embeddings_type {style!r} is not supported "
+            "(expected relative_key/relative/rotary/none)"
+        )
+
+    def scan_body(h, lp):
+        return _conformer_layer(lp, h, mask_bias, cfg, pos, frame_mask), None
+
+    x, _ = jax.lax.scan(scan_body, x, params["layers"])
+    return x
+
+
+def bert_adapter_forward(
+    params: dict,
+    x: jnp.ndarray,
+    cfg: Wav2Vec2ModelConfig,
+    frame_lens: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray | None]:
+    """w2v-BERT downsampling adapter (transformers Wav2Vec2BertAdapter /
+    Wav2Vec2BertAdapterLayer parity): per layer, a strided GLU conv on the
+    residual branch and another feeding a position-free self-attention,
+    then a full-step FFN (adapter_act). Each layer downsamples time by
+    adapter_stride (kernel adapter_kernel_size, pad stride//2).
+
+    Returns (hidden, new_frame_lens). Padded batches re-zero before every
+    conv so taps match the unpadded run's own zero padding; attention masks
+    keys by the sub-sampled lengths (HF _compute_new_attention_mask)."""
+    from .layers import act_fn, linear
+
+    if "proj" in params:
+        x = linear(x, params["proj"]["kernel"], params["proj"]["bias"])
+        ln = params["proj_layer_norm"]
+        x = layer_norm(x, ln["weight"], ln["bias"], cfg.layer_norm_eps)
+
+    eps = cfg.layer_norm_eps
+    stride = cfg.adapter_stride
+    k = cfg.adapter_kernel_size
+    pad = stride // 2
+    act = act_fn(getattr(cfg, "adapter_act", "relu"))
+    lens = frame_lens
+
+    def mask(z, lens_):
+        valid = jnp.arange(z.shape[1])[None, :] < lens_[:, None]
+        return z * valid[:, :, None].astype(z.dtype)
+
+    def glu_conv(z, p):  # p["weight"]: torch [2H, H, K], p["bias"]: [2H]
+        wt = p["weight"].transpose(2, 1, 0).astype(z.dtype)  # [K, H, 2H]
+        z = jax.lax.conv_general_dilated(
+            z, wt, window_strides=(stride,), padding=[(pad, pad)],
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )
+        z = z + p["bias"].astype(z.dtype)
+        o = z.shape[-1] // 2
+        gate = jax.nn.sigmoid(z[..., o:].astype(jnp.float32)).astype(z.dtype)
+        return z[..., :o] * gate
+
+    layers = params["layers"]
+    n_layers = layers["residual_conv"]["weight"].shape[0]
+    for i in range(n_layers):
+        lp = jax.tree.map(lambda a: a[i], layers)
+        new_lens = None if lens is None else (
+            (lens + 2 * pad - k) // stride + 1
+        )
+        # the convs' inputs are masked AFTER the LayerNorms (LN of a zeroed
+        # padded row is its bias, nonzero) so the strided taps see the
+        # zeros the unpadded run's own conv padding provides
+        res = layer_norm(x, lp["residual_layer_norm"]["weight"],
+                         lp["residual_layer_norm"]["bias"], eps)
+        if lens is not None:
+            res = mask(res, lens)
+        res = glu_conv(res, lp["residual_conv"])
+        h = layer_norm(x, lp["self_attn_layer_norm"]["weight"],
+                       lp["self_attn_layer_norm"]["bias"], eps)
+        if lens is not None:
+            h = mask(h, lens)
+        h = glu_conv(h, lp["self_attn_conv"])
+        mask_bias = None
+        if new_lens is not None:
+            valid = jnp.arange(h.shape[1])[None, :] < new_lens[:, None]
+            mask_bias = jnp.where(
+                valid[:, None, None, :], 0.0, -jnp.inf
+            ).astype(jnp.float32)
+        lens = new_lens
+        h = _conformer_attention(
+            lp["self_attn"], h, mask_bias, cfg, None, style="none"
+        )
+        x = h + res
+        r2 = x
+        h = layer_norm(x, lp["ffn_layer_norm"]["weight"],
+                       lp["ffn_layer_norm"]["bias"], eps)
+        up = act(linear_maybe_quantized(h, lp["ffn"]["intermediate_dense"]))
+        x = linear_maybe_quantized(up, lp["ffn"]["output_dense"]) + r2
+    return x, lens
 
 
 def adapter_forward(

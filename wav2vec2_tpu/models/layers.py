@@ -59,10 +59,11 @@ def silu(x: jnp.ndarray) -> jnp.ndarray:
 def act_fn(name: str):
     """ACT2FN analog for the activations the supported families ship with."""
     try:
-        return {"gelu": gelu, "swish": silu, "silu": silu}[name]
+        return {"gelu": gelu, "swish": silu, "silu": silu,
+                "relu": lambda x: jnp.maximum(x, 0)}[name]
     except KeyError:
         raise NotImplementedError(
-            f"hidden_act {name!r} is not supported (expected gelu/swish)"
+            f"hidden_act {name!r} is not supported (expected gelu/swish/relu)"
         ) from None
 
 

@@ -69,7 +69,11 @@ def init_params(
 
     h, ffn = cfg.hidden_size, cfg.intermediate_size
     g = cfg.num_conv_pos_embedding_groups
-    if cfg.pos_conv_style == "data2vec":
+    if getattr(cfg, "encoder_style", "wav2vec2") in (
+        "conformer", "conformer_bert"
+    ):
+        pos_conv = None  # no (used) positional conv in these encoders
+    elif cfg.pos_conv_style == "data2vec":
         kpos = cfg.conv_pos_kernel_size
         n_l = cfg.num_conv_pos_embeddings
         pos_conv = {"layers": {
@@ -175,17 +179,78 @@ def init_params(
             "final_layer_norm": ln(h),
         }
 
+    def conformer_bert_enc_layer():
+        # w2v-BERT block: conformer shape with a causal depthwise conv +
+        # LayerNorm (no BatchNorm) and optional relative_key distance
+        # embedding (Wav2Vec2BertEncoderLayer)
+        k = cfg.conv_depthwise_kernel_size
+        hd = h // cfg.num_attention_heads
+        self_attn = {
+            "linear_q": dense(h, h), "linear_k": dense(h, h),
+            "linear_v": dense(h, h), "linear_out": dense(h, h),
+        }
+        style = getattr(cfg, "position_embeddings_type", "relative_key")
+        if style == "relative":
+            self_attn["linear_pos"] = {
+                "kernel": (jax.random.normal(next(k_it), (h, h))
+                           * (1.0 / h) ** 0.5).astype(dtype)
+            }
+            self_attn["pos_bias_u"] = jnp.zeros(
+                (cfg.num_attention_heads, hd), dtype)
+            self_attn["pos_bias_v"] = jnp.zeros(
+                (cfg.num_attention_heads, hd), dtype)
+        elif style == "relative_key":
+            n_pos = (cfg.left_max_position_embeddings
+                     + cfg.right_max_position_embeddings + 1)
+            self_attn["distance_embedding"] = (
+                jax.random.normal(next(k_it), (n_pos, hd)) * 0.02
+            ).astype(dtype)
+        return {
+            "ffn1_layer_norm": ln(h),
+            "ffn1": {"intermediate_dense": dense(h, ffn),
+                     "output_dense": dense(ffn, h)},
+            "self_attn_layer_norm": ln(h),
+            "self_attn": self_attn,
+            "conv_module": {
+                "layer_norm": ln(h),
+                "pointwise_conv1": {"kernel": (
+                    jax.random.normal(next(k_it), (h, 2 * h))
+                    * (1.0 / h) ** 0.5).astype(dtype)},
+                "depthwise_conv": {"weight": (
+                    jax.random.normal(next(k_it), (h, 1, k))
+                    * (1.0 / k) ** 0.5).astype(dtype)},
+                "depthwise_layer_norm": ln(h),
+                "pointwise_conv2": {"kernel": (
+                    jax.random.normal(next(k_it), (h, h))
+                    * (1.0 / h) ** 0.5).astype(dtype)},
+            },
+            "ffn2_layer_norm": ln(h),
+            "ffn2": {"intermediate_dense": dense(h, ffn),
+                     "output_dense": dense(ffn, h)},
+            "final_layer_norm": ln(h),
+        }
+
     deberta = getattr(cfg, "attention_style", "wav2vec2") == "deberta"
     conformer = getattr(cfg, "encoder_style", "wav2vec2") == "conformer"
+    conformer_bert = (
+        getattr(cfg, "encoder_style", "wav2vec2") == "conformer_bert"
+    )
     layer_builder = (
         sewd_enc_layer if deberta
         else conformer_enc_layer if conformer
+        else conformer_bert_enc_layer if conformer_bert
         else enc_layer
     )
     layers = [layer_builder() for _ in range(cfg.num_hidden_layers)]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
 
-    if getattr(cfg, "encoder_style", "wav2vec2") == "sew":
+    if conformer_bert:
+        # mel frontend (models/mel.py) replaces the conv stack; the
+        # projection consumes the stacked 2×80 log-mel features
+        in_dim = getattr(cfg, "feature_projection_input_dim", 160)
+        feature_projection = {"layer_norm": ln(in_dim),
+                              "projection": dense(in_dim, h)}
+    elif getattr(cfg, "encoder_style", "wav2vec2") == "sew":
         feature_projection = {"layer_norm": ln(cfg.conv_dim[-1])}
         if cfg.conv_dim[-1] != h:
             feature_projection["projection"] = dense(cfg.conv_dim[-1], h)
@@ -194,14 +259,18 @@ def init_params(
         if cfg.feat_proj_layer_norm:
             feature_projection["layer_norm"] = ln(cfg.conv_dim[-1])
     tree = {
-        "feature_extractor": {"conv_layers": conv_layers},
+        **({} if conformer_bert
+           else {"feature_extractor": {"conv_layers": conv_layers}}),
         "feature_projection": feature_projection,
         "encoder": {
-            # the conformer encoder has no (used) positional conv — HF
-            # constructs one but never calls it in forward
-            **({} if conformer else {"pos_conv_embed": pos_conv}),
-            # SEW-D's DeBERTa encoder has no encoder-level LayerNorm
-            **({} if deberta else {"layer_norm": ln(h)}),
+            # the conformer encoders have no (used) positional conv — HF's
+            # wav2vec2-conformer constructs one but never calls it in
+            # forward; w2v-BERT has none at all
+            **({} if conformer or conformer_bert
+               else {"pos_conv_embed": pos_conv}),
+            # SEW-D's DeBERTa encoder and w2v-BERT have no encoder-level
+            # LayerNorm (each w2v-BERT block ends in its own final LN)
+            **({} if deberta or conformer_bert else {"layer_norm": ln(h)}),
             "layers": stacked,
             **({"rel_attn_embed": (
                 jax.random.normal(
@@ -224,7 +293,50 @@ def init_params(
         },
         "lm_head": dense(h, cfg.vocab_size),
     }
-    if getattr(cfg, "add_adapter", False):
+    if getattr(cfg, "use_intermediate_ffn_before_adapter", False):
+        tree["intermediate_ffn"] = {"intermediate_dense": dense(h, ffn),
+                                    "output_dense": dense(ffn, h)}
+    if getattr(cfg, "add_adapter", False) and conformer_bert:
+        out_h = cfg.output_hidden_size or h
+        k = cfg.adapter_kernel_size
+
+        def bert_adapter_layer():
+            return {
+                "residual_layer_norm": ln(out_h),
+                "residual_conv": {
+                    "weight": (jax.random.normal(
+                        next(k_it), (2 * out_h, out_h, k))
+                        * (1.0 / (out_h * k)) ** 0.5).astype(dtype),
+                    "bias": jnp.zeros((2 * out_h,), dtype),
+                },
+                "self_attn_layer_norm": ln(out_h),
+                "self_attn_conv": {
+                    "weight": (jax.random.normal(
+                        next(k_it), (2 * out_h, out_h, k))
+                        * (1.0 / (out_h * k)) ** 0.5).astype(dtype),
+                    "bias": jnp.zeros((2 * out_h,), dtype),
+                },
+                "self_attn": {
+                    "linear_q": dense(out_h, out_h),
+                    "linear_k": dense(out_h, out_h),
+                    "linear_v": dense(out_h, out_h),
+                    "linear_out": dense(out_h, out_h),
+                },
+                "ffn_layer_norm": ln(out_h),
+                "ffn": {"intermediate_dense": dense(out_h, ffn),
+                        "output_dense": dense(ffn, out_h)},
+            }
+
+        adapter = {}
+        if out_h != h:
+            adapter["proj"] = dense(h, out_h)
+            adapter["proj_layer_norm"] = ln(out_h)
+        a_layers = [bert_adapter_layer()
+                    for _ in range(cfg.num_adapter_layers)]
+        adapter["layers"] = jax.tree.map(lambda *xs: jnp.stack(xs), *a_layers)
+        tree["adapter"] = adapter
+        tree["lm_head"] = dense(out_h, cfg.vocab_size)
+    elif getattr(cfg, "add_adapter", False):
         out_h = cfg.output_hidden_size or h
         k = cfg.adapter_kernel_size
         adapter = {}
@@ -289,6 +401,8 @@ def params_from_flat_dict(
             name = "wav2vec2." + name[len("sew."):]
         elif name.startswith("wav2vec2_conformer."):
             name = "wav2vec2." + name[len("wav2vec2_conformer."):]
+        elif name.startswith("wav2vec2_bert."):
+            name = "wav2vec2." + name[len("wav2vec2_bert."):]
         elif name.startswith("unispeech_sat."):
             # UniSpeech / UniSpeech-SAT share wav2vec2's CTC graph exactly
             # (transformers modular_unispeech{,_sat}.py)
@@ -313,7 +427,9 @@ def params_from_flat_dict(
         return {"weight": get(prefix + ".weight"), "bias": get(prefix + ".bias")}
 
     conv_layers = []
-    for i in range(len(cfg.conv_dim)):
+    n_conv = (0 if getattr(cfg, "frontend_style", "conv") == "mel"
+              else len(cfg.conv_dim))
+    for i in range(n_conv):
         p = f"wav2vec2.feature_extractor.conv_layers.{i}"
         conv = {"weight": get(p + ".conv.weight")}
         if has(p + ".conv.bias"):
@@ -323,7 +439,9 @@ def params_from_flat_dict(
             layer["layer_norm"] = ln(p + ".layer_norm")
         conv_layers.append(layer)
 
-    if getattr(cfg, "encoder_style", "wav2vec2") == "conformer":
+    if getattr(cfg, "encoder_style", "wav2vec2") in (
+        "conformer", "conformer_bert"
+    ):
         # no used positional conv (see tree assembly below); checkpoints may
         # or may not carry the unused HF weights — never read either way
         pos_conv = None
@@ -461,8 +579,56 @@ def params_from_flat_dict(
             "final_layer_norm": ln(p + ".final_layer_norm"),
         }
 
+    def conformer_bert_layer(i):
+        # w2v-BERT block (Wav2Vec2BertEncoderLayer): conformer shape with a
+        # causal depthwise conv + LayerNorm and (optionally) a relative_key
+        # distance embedding per layer
+        p = f"wav2vec2.encoder.layers.{i}"
+        self_attn = {
+            k: dense(f"{p}.self_attn.{k}")
+            for k in ("linear_q", "linear_k", "linear_v", "linear_out")
+        }
+        if has(p + ".self_attn.linear_pos.weight"):
+            self_attn["linear_pos"] = {
+                "kernel": get(p + ".self_attn.linear_pos.weight").T
+            }
+            self_attn["pos_bias_u"] = get(p + ".self_attn.pos_bias_u")
+            self_attn["pos_bias_v"] = get(p + ".self_attn.pos_bias_v")
+        if has(p + ".self_attn.distance_embedding.weight"):
+            self_attn["distance_embedding"] = get(
+                p + ".self_attn.distance_embedding.weight")
+        cm = f"{p}.conv_module"
+        return {
+            "ffn1_layer_norm": ln(p + ".ffn1_layer_norm"),
+            "ffn1": {
+                "intermediate_dense": dense(p + ".ffn1.intermediate_dense"),
+                "output_dense": dense(p + ".ffn1.output_dense"),
+            },
+            "self_attn_layer_norm": ln(p + ".self_attn_layer_norm"),
+            "self_attn": self_attn,
+            "conv_module": {
+                "layer_norm": ln(cm + ".layer_norm"),
+                "pointwise_conv1": {"kernel": get(
+                    cm + ".pointwise_conv1.weight")[:, :, 0].T},
+                "depthwise_conv": {"weight": get(
+                    cm + ".depthwise_conv.weight")},
+                "depthwise_layer_norm": ln(cm + ".depthwise_layer_norm"),
+                "pointwise_conv2": {"kernel": get(
+                    cm + ".pointwise_conv2.weight")[:, :, 0].T},
+            },
+            "ffn2_layer_norm": ln(p + ".ffn2_layer_norm"),
+            "ffn2": {
+                "intermediate_dense": dense(p + ".ffn2.intermediate_dense"),
+                "output_dense": dense(p + ".ffn2.output_dense"),
+            },
+            "final_layer_norm": ln(p + ".final_layer_norm"),
+        }
+
     deberta = getattr(cfg, "attention_style", "wav2vec2") == "deberta"
     conformer = getattr(cfg, "encoder_style", "wav2vec2") == "conformer"
+    conformer_bert = (
+        getattr(cfg, "encoder_style", "wav2vec2") == "conformer_bert"
+    )
     if deberta and has("wav2vec2.encoder.encoder.conv.conv.weight"):
         raise RuntimeBackendError(
             "load weights",
@@ -470,7 +636,10 @@ def params_from_flat_dict(
             "are not supported; no released SEW-D speech checkpoint uses one",
         )
     layer_builder = (
-        sewd_layer if deberta else conformer_layer if conformer else enc_layer
+        sewd_layer if deberta
+        else conformer_layer if conformer
+        else conformer_bert_layer if conformer_bert
+        else enc_layer
     )
     layers = [layer_builder(i) for i in range(cfg.num_hidden_layers)]
     stacked = jax.tree.map(lambda *xs: np.stack(xs), *layers)
@@ -493,18 +662,22 @@ def params_from_flat_dict(
             "projection": dense("wav2vec2.feature_projection.projection"),
         }
     tree = {
-        "feature_extractor": {"conv_layers": conv_layers},
+        **({} if conformer_bert
+           else {"feature_extractor": {"conv_layers": conv_layers}}),
         "feature_projection": feature_projection,
         "encoder": {
             # conformer checkpoints carry pos_conv_embed weights that the HF
             # forward never uses (Wav2Vec2ConformerEncoder constructs but
-            # does not call it) — dropped here rather than shipped to device
-            **({} if conformer else {"pos_conv_embed": pos_conv}),
+            # does not call it) — dropped here rather than shipped to
+            # device; w2v-BERT has none at all
+            **({} if pos_conv is None else {"pos_conv_embed": pos_conv}),
             # required for every family except SEW-D (its DeBERTa encoder
-            # has no encoder-level LayerNorm) — config-gated so a broken
-            # checkpoint fails loudly instead of silently skipping the norm
+            # has no encoder-level LayerNorm) and w2v-BERT (each block ends
+            # in its own final LN) — config-gated so a broken checkpoint
+            # fails loudly instead of silently skipping the norm
             **({"layer_norm": ln("wav2vec2.encoder.layer_norm")}
                if getattr(cfg, "attention_style", "wav2vec2") != "deberta"
+               and not conformer_bert
                else {}),
             "layers": stacked,
             # WavLM: layer 0 owns the shared bucketed bias embedding; it is
@@ -530,7 +703,49 @@ def params_from_flat_dict(
         },
         "lm_head": dense("lm_head"),
     }
-    if has("wav2vec2.adapter.layers.0.conv.weight"):
+    if has("wav2vec2.intermediate_ffn.intermediate_dense.weight"):
+        # w2v-BERT use_intermediate_ffn_before_adapter (relu, half-step)
+        tree["intermediate_ffn"] = {
+            "intermediate_dense": dense(
+                "wav2vec2.intermediate_ffn.intermediate_dense"),
+            "output_dense": dense("wav2vec2.intermediate_ffn.output_dense"),
+        }
+    if has("wav2vec2.adapter.layers.0.residual_conv.weight"):
+        # w2v-BERT conformer-style downsampling adapter
+        # (Wav2Vec2BertAdapterLayer): strided GLU convs + position-free
+        # attention + FFN per layer, stacked on a leading L axis
+        adapter = {}
+        if has("wav2vec2.adapter.proj.weight"):
+            adapter["proj"] = dense("wav2vec2.adapter.proj")
+            adapter["proj_layer_norm"] = ln("wav2vec2.adapter.proj_layer_norm")
+        a_layers = []
+        i = 0
+        while has(f"wav2vec2.adapter.layers.{i}.residual_conv.weight"):
+            p = f"wav2vec2.adapter.layers.{i}"
+            a_layers.append({
+                "residual_layer_norm": ln(p + ".residual_layer_norm"),
+                "residual_conv": {"weight": get(p + ".residual_conv.weight"),
+                                  "bias": get(p + ".residual_conv.bias")},
+                "self_attn_layer_norm": ln(p + ".self_attn_layer_norm"),
+                "self_attn_conv": {
+                    "weight": get(p + ".self_attn_conv.weight"),
+                    "bias": get(p + ".self_attn_conv.bias")},
+                "self_attn": {
+                    k: dense(f"{p}.self_attn.{k}")
+                    for k in ("linear_q", "linear_k", "linear_v",
+                              "linear_out")
+                },
+                "ffn_layer_norm": ln(p + ".ffn_layer_norm"),
+                "ffn": {
+                    "intermediate_dense": dense(
+                        p + ".ffn.intermediate_dense"),
+                    "output_dense": dense(p + ".ffn.output_dense"),
+                },
+            })
+            i += 1
+        adapter["layers"] = jax.tree.map(lambda *xs: np.stack(xs), *a_layers)
+        tree["adapter"] = adapter
+    elif has("wav2vec2.adapter.layers.0.conv.weight"):
         # add_adapter GLU conv stack (transformers Wav2Vec2Adapter); layers
         # stacked on a leading L axis like the encoder layers
         adapter = {}

@@ -277,6 +277,28 @@ def unispeech_large_phoneme(vocab_size: int) -> Wav2Vec2ModelConfig:
     )
 
 
+def w2v_bert_2_0(vocab_size: int = 32) -> Wav2Vec2ModelConfig:
+    """facebook/w2v-bert-2.0 CTC fine-tunes (the Seamless speech encoder,
+    580M params): log-mel frontend (no conv stack), conformer blocks with
+    relative_key clamped-distance attention and causal depthwise convs,
+    plus the stride-2 conformer adapter the published CTC fine-tuning
+    recipe enables (frames are 40 ms with it, 20 ms without)."""
+    return Wav2Vec2ModelConfig.from_dict(
+        dict(
+            model_type="wav2vec2-bert",
+            hidden_size=1024, num_hidden_layers=24, num_attention_heads=16,
+            intermediate_size=4096, pad_token_id=0, vocab_size=vocab_size,
+            position_embeddings_type="relative_key",
+            left_max_position_embeddings=64,
+            right_max_position_embeddings=8,
+            conv_depthwise_kernel_size=31, hidden_act="swish",
+            feature_projection_input_dim=160,
+            add_adapter=True, adapter_kernel_size=3, adapter_stride=2,
+            num_adapter_layers=1,
+        )
+    )
+
+
 PRESETS = {
     "wav2vec2-base-960h": wav2vec2_base_960h,
     "wav2vec2-large-960h-lv60": wav2vec2_large_960h_lv60,
@@ -296,4 +318,5 @@ PRESETS = {
         wav2vec2_conformer_rel_pos_large_960h,
     "unispeech-sat-base-100h": unispeech_sat_base_100h,
     "unispeech-large-phoneme": unispeech_large_phoneme,
+    "w2v-bert-2.0": w2v_bert_2_0,
 }

@@ -50,6 +50,7 @@ def hf_weight_prefix(cfg, family: str | None = None) -> str:
             "data2vec-audio": "data2vec_audio", "wavlm": "wavlm",
             "sew": "sew", "sew-d": "sew_d",
             "wav2vec2-conformer": "wav2vec2_conformer",
+            "wav2vec2-bert": "wav2vec2_bert",
             # UniSpeech/-SAT share wav2vec2's graph; like HuBERT they are
             # only reachable via an explicit family= (cfg is identical)
             "unispeech": "unispeech", "unispeech-sat": "unispeech_sat",
@@ -62,6 +63,8 @@ def hf_weight_prefix(cfg, family: str | None = None) -> str:
         return prefixes[family]
     if getattr(cfg, "encoder_style", "wav2vec2") == "conformer":
         return "wav2vec2_conformer"
+    if getattr(cfg, "encoder_style", "wav2vec2") == "conformer_bert":
+        return "wav2vec2_bert"
     if getattr(cfg, "encoder_style", "wav2vec2") == "sew":
         if getattr(cfg, "attention_style", "wav2vec2") == "deberta":
             return "sew_d"
@@ -90,7 +93,7 @@ def params_to_hf_flat_dict(
         # underlying buffer, not the strided view
         out[name] = np.ascontiguousarray(np.asarray(arr))
 
-    fe = params["feature_extractor"]["conv_layers"]
+    fe = params.get("feature_extractor", {}).get("conv_layers", [])
     for i, layer in enumerate(fe):
         p = f"{root}.feature_extractor.conv_layers.{i}"
         put(p + ".conv.weight", layer["conv"]["weight"])
@@ -193,6 +196,10 @@ def params_to_hf_flat_dict(
                     stacked["self_attn"]["pos_bias_u"][i])
                 put(f"{p}.self_attn.pos_bias_v",
                     stacked["self_attn"]["pos_bias_v"][i])
+            if "distance_embedding" in stacked["self_attn"]:
+                # w2v-BERT relative_key clamped-distance embedding
+                put(f"{p}.self_attn.distance_embedding.weight",
+                    stacked["self_attn"]["distance_embedding"][i])
             for ffn in ("ffn1", "ffn2"):
                 put(f"{p}.{ffn}_layer_norm.weight",
                     stacked[f"{ffn}_layer_norm"]["weight"][i])
@@ -215,14 +222,59 @@ def params_to_hf_flat_dict(
                 np.asarray(cm["pointwise_conv2"]["kernel"][i]).T[:, :, None])
             put(f"{p}.conv_module.depthwise_conv.weight",
                 cm["depthwise_conv"]["weight"][i])
-            scale = np.asarray(cm["batch_norm"]["scale"][i])
-            shift = np.asarray(cm["batch_norm"]["shift"][i])
-            bn = f"{p}.conv_module.batch_norm"
-            put(bn + ".weight", scale)
-            put(bn + ".bias", shift)
-            put(bn + ".running_mean", np.zeros_like(scale))
-            put(bn + ".running_var", np.full_like(scale, 1.0 - 1e-5))
-            put(bn + ".num_batches_tracked", np.asarray(0, dtype=np.int64))
+            if "depthwise_layer_norm" in cm:
+                # w2v-BERT conv module: LayerNorm after the causal conv
+                put(f"{p}.conv_module.depthwise_layer_norm.weight",
+                    cm["depthwise_layer_norm"]["weight"][i])
+                put(f"{p}.conv_module.depthwise_layer_norm.bias",
+                    cm["depthwise_layer_norm"]["bias"][i])
+            else:
+                scale = np.asarray(cm["batch_norm"]["scale"][i])
+                shift = np.asarray(cm["batch_norm"]["shift"][i])
+                bn = f"{p}.conv_module.batch_norm"
+                put(bn + ".weight", scale)
+                put(bn + ".bias", shift)
+                put(bn + ".running_mean", np.zeros_like(scale))
+                put(bn + ".running_var", np.full_like(scale, 1.0 - 1e-5))
+                put(bn + ".num_batches_tracked",
+                    np.asarray(0, dtype=np.int64))
+        if "intermediate_ffn" in params:
+            for name in ("intermediate_dense", "output_dense"):
+                put(f"{root}.intermediate_ffn.{name}.weight",
+                    np.asarray(params["intermediate_ffn"][name]["kernel"]).T)
+                put(f"{root}.intermediate_ffn.{name}.bias",
+                    params["intermediate_ffn"][name]["bias"])
+        if "adapter" in params and "residual_conv" in params["adapter"]["layers"]:
+            a = params["adapter"]
+            if "proj" in a:
+                put(f"{root}.adapter.proj.weight",
+                    np.asarray(a["proj"]["kernel"]).T)
+                put(f"{root}.adapter.proj.bias", a["proj"]["bias"])
+                put(f"{root}.adapter.proj_layer_norm.weight",
+                    a["proj_layer_norm"]["weight"])
+                put(f"{root}.adapter.proj_layer_norm.bias",
+                    a["proj_layer_norm"]["bias"])
+            al = a["layers"]
+            n_a = int(np.asarray(al["residual_conv"]["weight"]).shape[0])
+            for i in range(n_a):
+                p = f"{root}.adapter.layers.{i}"
+                for lnn in ("residual_layer_norm", "self_attn_layer_norm",
+                            "ffn_layer_norm"):
+                    put(f"{p}.{lnn}.weight", al[lnn]["weight"][i])
+                    put(f"{p}.{lnn}.bias", al[lnn]["bias"][i])
+                for conv in ("residual_conv", "self_attn_conv"):
+                    put(f"{p}.{conv}.weight", al[conv]["weight"][i])
+                    put(f"{p}.{conv}.bias", al[conv]["bias"][i])
+                for proj in ("linear_q", "linear_k", "linear_v",
+                             "linear_out"):
+                    put(f"{p}.self_attn.{proj}.weight",
+                        np.asarray(al["self_attn"][proj]["kernel"][i]).T)
+                    put(f"{p}.self_attn.{proj}.bias",
+                        al["self_attn"][proj]["bias"][i])
+                for name in ("intermediate_dense", "output_dense"):
+                    put(f"{p}.ffn.{name}.weight",
+                        np.asarray(al["ffn"][name]["kernel"][i]).T)
+                    put(f"{p}.ffn.{name}.bias", al["ffn"][name]["bias"][i])
         put("lm_head.weight", np.asarray(params["lm_head"]["kernel"]).T)
         put("lm_head.bias", params["lm_head"]["bias"])
         return out
