@@ -273,3 +273,41 @@ def test_w2v_bert_batch_aligner_and_cli(tmp_path):
     tgs = sorted(root.glob("*.TextGrid"))
     assert len(tgs) == 2
     assert '"ab"' in tgs[0].read_text()
+
+
+def test_w2v_bert_longform_and_online():
+    """The mel frontend's 320-sample frame stride flows through
+    frame_stride_samples() into the long-form chunker and the online
+    aligner (both previously derived it from prod(conv_stride), which is
+    empty for w2v-BERT)."""
+    import jax
+
+    from wav2vec2_tpu.align.longform import align_longform
+    from wav2vec2_tpu.align.online import OnlineAligner
+    from wav2vec2_tpu.models.params import init_params
+
+    cfg = Wav2Vec2ModelConfig.from_dict(_cfg_dict())
+    assert cfg.frame_stride_samples() == 320
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    vocab = {"a": 1, "b": 2, "|": 4}
+    rng = np.random.default_rng(0)
+    audio = rng.normal(size=48000).astype(np.float32)
+
+    out = align_longform(audio, "ab ba ab", params, cfg, vocab,
+                         chunk_sec=1.0, overlap_sec=0.25, sample_rate=16000)
+    assert [w.word for w in out.words] == ["ab", "ba", "ab"]
+    for w, v in zip(out.words, out.words[1:]):
+        assert w.start_ms <= v.start_ms
+
+    ol = OnlineAligner(cfg, params, vocab, "ab ba ab",
+                       chunk_sec=1.0, overlap_sec=0.25,
+                       finalize_margin_sec=0.5)
+    for i in range(0, len(audio), 8000):
+        ol.push(audio[i: i + 8000])
+    words = ol.flush().words
+    assert [w.word for w in words] == ["ab", "ba", "ab"]
+
+    # adapter variant: 640-sample frames (mel 320 × adapter stride 2)
+    cfg_a = Wav2Vec2ModelConfig.from_dict(
+        _cfg_dict(add_adapter=True, num_adapter_layers=1))
+    assert cfg_a.frame_stride_samples() == 640

@@ -101,9 +101,9 @@ def align_longform(
     hp = hp or AlignerHyperParams()
     blank_id = model_cfg.pad_token_id
     word_sep_id = vocab.get("|", 0)
-    stride = 1
-    for s in model_cfg.conv_stride:
-        stride *= s
+    # samples per output frame — covers the mel frontend (w2v-BERT) and
+    # adapter-downsampled models too, not just prod(conv_stride)
+    stride = model_cfg.frame_stride_samples()
     stride_ms = model_cfg.frame_stride_ms(sample_rate)
 
     # tokenize FIRST (audio-independent): empty transcripts/audio and

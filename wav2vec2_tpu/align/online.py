@@ -151,9 +151,8 @@ class OnlineAligner:
         self.hp = hp or AlignerHyperParams()
         self.blank_id = model_cfg.pad_token_id
         self.word_sep_id = vocab.get("|", 0)
-        self.stride = 1
-        for st in model_cfg.conv_stride:
-            self.stride *= st
+        # samples per output frame (mel frontend / adapter aware)
+        self.stride = model_cfg.frame_stride_samples()
         self.stride_ms = model_cfg.frame_stride_ms(sample_rate)
         self.seq = build_token_sequence_case_aware(
             transcript, vocab, self.blank_id, self.word_sep_id

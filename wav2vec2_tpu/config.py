@@ -226,6 +226,13 @@ class Wav2Vec2ModelConfig:
         The mel frontend (w2v-BERT) emits 160-sample hops stacked ×2
         (= 20 ms at 16 kHz, same as wav2vec2's conv stack).
         """
+        return self.frame_stride_samples() / sample_rate * 1000.0
+
+    def frame_stride_samples(self) -> int:
+        """Input samples per OUTPUT frame (includes the mel hop×stack and
+        any adapter downsampling) — the chunk-alignment unit the long-form
+        and online paths need (= 320 for wav2vec2 and the mel frontend at
+        16 kHz; × adapter_stride**num_adapter_layers with add_adapter)."""
         if getattr(self, "frontend_style", "conv") == "mel":
             stride_samples = 160 * 2
         else:
@@ -234,7 +241,7 @@ class Wav2Vec2ModelConfig:
                 stride_samples *= s
         if self.add_adapter:
             stride_samples *= self.adapter_stride ** self.num_adapter_layers
-        return stride_samples / sample_rate * 1000.0
+        return stride_samples
 
     def conv_output_length(self, num_samples: int) -> int:
         """Number of output frames T produced by the model for `num_samples`
