@@ -5,11 +5,12 @@ LibriSpeech between its implementation and an independent Python aligner
 (/root/reference/scripts/compare_textgrids.py:37-38). This script runs the
 same protocol at dataset scale in this environment:
 
-1. build a full-geometry wav2vec2-base model dir + an N-case synthetic
-   LibriSpeech-layout corpus (soak_cli helpers; no pretrained checkpoints
-   exist here — zero egress — so weights are seeded-random; both
-   implementations consume the identical checkpoint, which is exactly what
-   a cross-IMPLEMENTATION comparison needs);
+1. build a full-geometry model dir (--family picks any supported family;
+   default wav2vec2-base) + an N-case synthetic LibriSpeech-layout corpus
+   (soak_cli / family_model_dirs helpers; no pretrained checkpoints exist
+   here — zero egress — so weights are seeded-random; both implementations
+   consume the identical checkpoint, which is exactly what a
+   cross-IMPLEMENTATION comparison needs);
 2. align every case with the INDEPENDENT torch CPU driver
    (scripts/torch_reference_driver.py) → baseline `stem.TextGrid`s;
 3. align every case with the real CLI on TPU, f32 (`_tpu` suffix) and
@@ -27,6 +28,8 @@ pass the 5 ms gates.
 Usage:
     python scripts/quality_report.py [--cases 200] [--keep DIR]
         [--out-dir reports] [--skip-bf16] [--seed 0]
+        [--family wavlm-base-plus]  # any scripts/family_model_dirs.py key;
+                                    # scripts/quality_families.py sweeps all
 """
 
 from __future__ import annotations
@@ -57,28 +60,44 @@ def main(argv=None) -> int:
     p.add_argument("--cases", type=int, default=200)
     p.add_argument("--dur-lo", type=float, default=4.0)
     p.add_argument("--dur-hi", type=float, default=8.0)
+    p.add_argument("--words-per-sec", type=float, default=2.0,
+                   help="transcript density (lower it for coarse-frame "
+                        "models like add_adapter's 160 ms rate)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--family", default="wav2vec2-base-960h",
+                   help="model family (scripts/family_model_dirs.py key)")
     p.add_argument("--keep", default=None,
                    help="reuse/keep corpus+model under this dir")
     p.add_argument("--out-dir", default="reports")
+    p.add_argument("--max-batch", type=int, default=0,
+                   help="cap the CLI's device batch (0 = CLI default); "
+                        "bounds f32 activation memory for the 600M+ "
+                        "families and pins the compiled batch shape")
     p.add_argument("--skip-bf16", action="store_true")
+    p.add_argument("--skip-json-report", action="store_true")
     p.add_argument("--skip-torch", action="store_true",
                    help="assume baseline TextGrids already exist")
     args = p.parse_args(argv)
 
+    import family_model_dirs
     import soak_cli
     import torch_reference_driver
 
     from wav2vec2_tpu.cli.alignment_report import run as cli_run
 
+    default_family = args.family == "wav2vec2-base-960h"
     root = Path(args.keep) if args.keep else Path("/tmp/quality_corpus")
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
 
     t0 = time.perf_counter()
-    model_dir = soak_cli.make_model_dir(root)
+    if default_family:
+        model_dir = soak_cli.make_model_dir(root)  # r2 artifact continuity
+    else:
+        model_dir = family_model_dirs.build_model_dir(args.family, root)
     dataset_root, audio_s = soak_cli.make_dataset(
-        root, args.cases, args.dur_lo, args.dur_hi, args.seed
+        root, args.cases, args.dur_lo, args.dur_hi, args.seed,
+        words_per_sec=args.words_per_sec,
     )
     print(f"[quality] corpus: {args.cases} cases / {audio_s:.0f} s audio, "
           f"setup {time.perf_counter() - t0:.0f} s", flush=True)
@@ -101,6 +120,9 @@ def main(argv=None) -> int:
     runs = [("float32", "_tpu")]
     if not args.skip_bf16:
         runs.append(("bfloat16", "_tpu_bf16"))
+    batch_args = (
+        ["--max-batch", str(args.max_batch)] if args.max_batch else []
+    )
     for dtype, suffix in runs:
         t0 = time.perf_counter()
         rc = cli_run([
@@ -109,6 +131,7 @@ def main(argv=None) -> int:
             "--compute-dtype", dtype,
             "--output-format", "textgrid",
             "--textgrid-suffix", suffix,
+            *batch_args,
         ])
         stages[f"cli_{dtype}_s"] = round(time.perf_counter() - t0, 1)
         if rc != 0:
@@ -118,7 +141,8 @@ def main(argv=None) -> int:
     summary = {
         "cases": args.cases,
         "audio_seconds": round(audio_s, 1),
-        "model": "wav2vec2-base geometry (95M), seeded-random weights",
+        "family": args.family,
+        "model": f"{args.family} geometry, seeded-random weights",
         "baseline": "independent torch CPU driver "
                     "(scripts/torch_reference_driver.py)",
         "threshold_ms": ABS_THRESHOLD_MS,
@@ -143,32 +167,41 @@ def main(argv=None) -> int:
         print(f"[quality] {dtype}: {json.dumps(metrics)}", flush=True)
 
     # full json-mode Report vs the torch TextGrids as references
-    t0 = time.perf_counter()
-    report_path = out_dir / "quality_report.json"
-    rc = cli_run([
-        "--model-dir", str(model_dir),
-        "--dataset-root", str(dataset_root),
-        "--compute-dtype", "float32",
-        "--output-format", "json",
-        "--out", str(report_path),
-    ])
-    summary["stages"]["cli_json_report_s"] = round(time.perf_counter() - t0, 1)
-    if rc != 0:
-        print(f"[quality] json report failed rc={rc}", file=sys.stderr)
-        return rc
-    rep = json.loads(report_path.read_text())
-    agg = rep.get("aggregates", {}).get("global", {})
-    summary["report_pass_rates"] = {
-        k: v for k, v in agg.items()
-        if isinstance(v, dict) and "pass" in k
-    }
+    if not args.skip_json_report:
+        t0 = time.perf_counter()
+        report_path = out_dir / (
+            "quality_report.json" if default_family
+            else f"quality_report_{args.family}.json"
+        )
+        rc = cli_run([
+            "--model-dir", str(model_dir),
+            "--dataset-root", str(dataset_root),
+            "--compute-dtype", "float32",
+            "--output-format", "json",
+            "--out", str(report_path),
+        ])
+        summary["stages"]["cli_json_report_s"] = round(
+            time.perf_counter() - t0, 1
+        )
+        if rc != 0:
+            print(f"[quality] json report failed rc={rc}", file=sys.stderr)
+            return rc
+        rep = json.loads(report_path.read_text())
+        agg = rep.get("aggregates", {}).get("global", {})
+        summary["report_pass_rates"] = {
+            k: v for k, v in agg.items()
+            if isinstance(v, dict) and "pass" in k
+        }
 
-    (out_dir / "quality_summary.json").write_text(
-        json.dumps(summary, indent=2) + "\n"
+    summary_path = out_dir / (
+        "quality_summary.json" if default_family
+        else f"quality_summary_{args.family}.json"
     )
+    summary_path.write_text(json.dumps(summary, indent=2) + "\n")
     print(json.dumps({"metric": "quality_dataset_scale",
+                      "family": args.family,
                       "passed": not failed,
-                      "summary": str(out_dir / "quality_summary.json")}))
+                      "summary": str(summary_path)}))
     return 2 if failed else 0
 
 

@@ -73,7 +73,7 @@ def make_model_dir(root: Path) -> Path:
 
 
 def make_dataset(root: Path, n_cases: int, dur_lo: float, dur_hi: float,
-                 seed: int) -> tuple[Path, float]:
+                 seed: int, words_per_sec: float = 2.0) -> tuple[Path, float]:
     from wav2vec2_tpu.data.flac_encoder import write_flac
 
     rng = np.random.default_rng(seed)
@@ -101,7 +101,7 @@ def make_dataset(root: Path, n_cases: int, dur_lo: float, dur_hi: float,
         ).astype(np.int64)
         uid = f"1-{chapter}-{i:04d}"
         write_flac(chap_dir / f"{uid}.flac", x, 16000)
-        n_words = max(3, int(dur * 2))
+        n_words = max(3, int(dur * words_per_sec))
         lines.append(
             f"{uid} {' '.join(rng.choice(WORD_POOL, size=n_words))}"
         )

@@ -82,7 +82,10 @@ class _Word:
 
 
 class TorchForcedAligner:
-    """CTC forced aligner on torch CPU via transformers' Wav2Vec2ForCTC.
+    """CTC forced aligner on torch CPU via transformers' `*ForCTC` models
+    (any CTC family the main framework supports: wav2vec2, HuBERT,
+    data2vec-audio, WavLM, SEW/SEW-D, Wav2Vec2-Conformer, UniSpeech/-SAT,
+    MMS-adapter and add_adapter checkpoints, Wav2Vec2-BERT).
 
     Implements the same published algorithm as the main framework but with
     none of its alignment code: vectorized torch trellis with tie rules
@@ -100,28 +103,45 @@ class TorchForcedAligner:
 
         self.torch = torch
         model_dir = Path(model_dir)
-        self.config = transformers.Wav2Vec2Config.from_pretrained(model_dir)
-        self.model = transformers.Wav2Vec2ForCTC(self.config).eval()
+        cfg_dict = json.loads((model_dir / "config.json").read_text())
+        model_type = cfg_dict.pop("model_type", "wav2vec2")
+        self.config = transformers.AutoConfig.for_model(model_type, **cfg_dict)
         weights = model_dir / "model.safetensors"
         if weights.exists():
+            self.model = transformers.AutoModelForCTC.from_config(
+                self.config
+            ).eval()
             from safetensors.torch import load_file
 
             state = load_file(str(weights))
             self.model.load_state_dict(state, strict=False)
         else:  # torch-format checkpoint directory
-            self.model = transformers.Wav2Vec2ForCTC.from_pretrained(
+            self.model = transformers.AutoModelForCTC.from_pretrained(
                 model_dir
             ).eval()
         self.device = torch.device(device)
         self.model.to(self.device)
 
+        # Wav2Vec2-BERT consumes log-mel features, not raw waveform; use
+        # HF's own extractor so the whole acoustic path stays independent
+        # of the main framework's mel implementation (models/mel.py).
+        self.mel_extractor = None
+        if model_type == "wav2vec2-bert":
+            self.mel_extractor = transformers.SeamlessM4TFeatureExtractor()
+            stride = 160 * 2  # 10 ms kaldi-fbank hop, stacked x2
+        else:
+            stride = 1
+            for s in self.config.conv_stride:
+                stride *= int(s)
+        if getattr(self.config, "add_adapter", False):
+            stride *= int(self.config.adapter_stride) ** int(
+                self.config.num_adapter_layers
+            )
+
         vocab = json.loads((model_dir / "vocab.json").read_text())
         self.vocab = {k: int(v) for k, v in vocab.items() if len(k) == 1}
         self.blank_id = int(self.config.pad_token_id)
         self.sep_id = self.vocab.get("|", 0)
-        stride = 1
-        for s in self.config.conv_stride:
-            stride *= int(s)
         self.frame_stride_ms = stride / 16_000.0 * 1000.0
         self.dtype_label = "float32"
         self.device_label = f"torch-{device}"
@@ -174,10 +194,19 @@ class TorchForcedAligner:
     def forward(self, normalized: np.ndarray):
         torch = self.torch
         with torch.no_grad():
-            x = torch.from_numpy(np.ascontiguousarray(normalized)).to(
-                self.device
-            )
-            logits = self.model(x.unsqueeze(0)).logits.squeeze(0)
+            if self.mel_extractor is not None:
+                feats = self.mel_extractor(
+                    [np.asarray(normalized)], sampling_rate=16_000,
+                    return_tensors="pt",
+                )
+                logits = self.model(
+                    feats["input_features"].to(self.device)
+                ).logits.squeeze(0)
+            else:
+                x = torch.from_numpy(np.ascontiguousarray(normalized)).to(
+                    self.device
+                )
+                logits = self.model(x.unsqueeze(0)).logits.squeeze(0)
         return logits  # [T, V] torch float32, pre-log-softmax
 
     def log_softmax(self, logits):

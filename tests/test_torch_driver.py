@@ -200,3 +200,73 @@ def test_driver_perf_jsonl_schema_and_comparator(model_dir, dataset_root,
     assert out.returncode == 0, out.stderr
     cmp = json.loads(cmp_json.read_text())
     assert cmp["common_utterances"] == 2
+
+
+_TINY = dict(hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+             intermediate_size=64)
+_TINY_CONV = dict(conv_dim=[16] * 7, num_conv_pos_embeddings=16,
+                  num_conv_pos_embedding_groups=4, **_TINY)
+
+FAMILY_OVERRIDES = {
+    "mhubert-147": _TINY_CONV,
+    "sew-d-base": dict(conv_dim=[16] * 13, num_conv_pos_embeddings=16,
+                       num_conv_pos_embedding_groups=4, position_buckets=16,
+                       max_position_embeddings=64, **_TINY),
+    "wav2vec2-conformer-rel-pos-large-960h": dict(
+        _TINY_CONV, conv_depthwise_kernel_size=7, max_source_positions=500),
+    "w2v-bert-2.0": dict(_TINY, conv_depthwise_kernel_size=7,
+                         left_max_position_embeddings=8,
+                         right_max_position_embeddings=2),
+}
+
+
+@pytest.mark.parametrize("family", sorted(FAMILY_OVERRIDES))
+def test_cross_implementation_textgrids_per_family(
+    family, dataset_root, tmp_path_factory
+):
+    """The generalized driver (AutoModelForCTC + mel frontend + family-aware
+    frame stride) vs the CLI on the structurally distinct families: BN
+    pos-conv, squeezed DeBERTa-v2 encoder, Transformer-XL conformer, and the
+    log-mel w2v-BERT (40 ms adapter frames). Same protocol + 5 ms gates as
+    the wav2vec2 test above; full-geometry sweeps live in
+    scripts/quality_families.py -> reports/quality_families.json."""
+    from family_model_dirs import build_model_dir
+
+    from wav2vec2_tpu.cli.alignment_report import run as cli_run
+
+    root = tmp_path_factory.mktemp(f"family_{family}")
+    model_dir = build_model_dir(family, root,
+                                overrides=FAMILY_OVERRIDES[family])
+
+    suffix = "_tpu"
+    rc = driver_run([
+        "--model-dir", str(model_dir), "--dataset-root", str(dataset_root),
+        "--output-format", "textgrid", "--progress-every", "0",
+        "--textgrid-suffix", f"_torch_{family}",
+    ])
+    assert rc == 0
+    rc = cli_run([
+        "--model-dir", str(model_dir), "--dataset-root", str(dataset_root),
+        "--compute-dtype", "float32", "--output-format", "textgrid",
+        "--textgrid-suffix", f"{suffix}_{family}",
+    ])
+    assert rc == 0
+
+    from wav2vec2_tpu.cli.compare_textgrids import (
+        load_word_pairs, metrics_from_word_pairs,
+    )
+
+    # pair torch-suffixed baselines with CLI-suffixed candidates directly
+    baselines = sorted(Path(dataset_root).rglob(f"*_torch_{family}.TextGrid"))
+    pairs = [
+        (b, b.with_name(b.name.replace(f"_torch_{family}",
+                                       f"{suffix}_{family}")))
+        for b in baselines
+    ]
+    assert len(pairs) == 3 and all(c.exists() for _, c in pairs)
+    parsed, failures = load_word_pairs(pairs)
+    assert failures == 0
+    stats = metrics_from_word_pairs(parsed)
+    for key in ("median_start_diff_ms", "median_end_diff_ms",
+                "median_word_middle_diff_ms"):
+        assert abs(stats[key]) <= 5.0, (family, stats)
