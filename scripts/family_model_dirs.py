@@ -131,7 +131,15 @@ def build_model_dir(family: str, root: Path, seed: int = 0,
     model_type = spec.pop("model_type")
     d = Path(root) / f"model-{family}"
     d.mkdir(parents=True, exist_ok=True)
-    if (d / "model.safetensors").exists():
+    # the spec fingerprint makes reuse safe across crashes and changed
+    # overrides: weights (the slow part) are written before the sentinel
+    fingerprint = json.dumps(
+        {"spec": spec, "model_type": model_type, "seed": seed,
+         "vocab_size": vocab_size},
+        sort_keys=True, default=str,
+    )
+    sentinel = d / "fixture.json"
+    if sentinel.exists() and sentinel.read_text() == fingerprint:
         return d
 
     cfg = transformers.AutoConfig.for_model(
@@ -150,4 +158,5 @@ def build_model_dir(family: str, root: Path, seed: int = 0,
     for i, c in enumerate("ETAONIHSRDLUMWCFGYPBVKXJQZ"):
         vocab[c] = 5 + i
     (d / "vocab.json").write_text(json.dumps(vocab))
+    sentinel.write_text(fingerprint)
     return d

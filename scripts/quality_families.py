@@ -53,6 +53,8 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--only", default=None,
                    help="comma-separated family subset")
+    p.add_argument("--cpu", action="store_true",
+                   help="pass --cpu through to quality_report")
     p.add_argument("--force", action="store_true")
     p.add_argument("--out-dir", default="reports")
     p.add_argument("--work-dir", default="/tmp/quality_families")
@@ -86,6 +88,7 @@ def main(argv=None) -> int:
             "--keep", f"{args.work_dir}/{fam}",
             "--out-dir", str(out_dir),
             "--skip-bf16", "--skip-json-report",
+            *(["--cpu"] if args.cpu else []),
         ])
         print(f"[families] {fam}: rc={rc} "
               f"({time.perf_counter() - t0:.0f} s)", flush=True)

@@ -73,11 +73,20 @@ def main(argv=None) -> int:
                    help="cap the CLI's device batch (0 = CLI default); "
                         "bounds f32 activation memory for the 600M+ "
                         "families and pins the compiled batch shape")
+    p.add_argument("--cpu", action="store_true",
+                   help="run the CLI side on JAX-CPU instead of TPU (the "
+                        "cross-implementation comparison is platform-"
+                        "independent; use when the TPU is unavailable)")
     p.add_argument("--skip-bf16", action="store_true")
     p.add_argument("--skip-json-report", action="store_true")
     p.add_argument("--skip-torch", action="store_true",
                    help="assume baseline TextGrids already exist")
     args = p.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import family_model_dirs
     import soak_cli
@@ -145,6 +154,7 @@ def main(argv=None) -> int:
         "model": f"{args.family} geometry, seeded-random weights",
         "baseline": "independent torch CPU driver "
                     "(scripts/torch_reference_driver.py)",
+        "cli_platform": "cpu" if args.cpu else "tpu",
         "threshold_ms": ABS_THRESHOLD_MS,
         "stages": stages,
         "comparisons": {},
@@ -179,6 +189,7 @@ def main(argv=None) -> int:
             "--compute-dtype", "float32",
             "--output-format", "json",
             "--out", str(report_path),
+            *batch_args,
         ])
         summary["stages"]["cli_json_report_s"] = round(
             time.perf_counter() - t0, 1

@@ -199,9 +199,21 @@ class TorchForcedAligner:
                     [np.asarray(normalized)], sampling_rate=16_000,
                     return_tensors="pt",
                 )
+                mask = feats["attention_mask"].to(self.device)
                 logits = self.model(
-                    feats["input_features"].to(self.device)
+                    feats["input_features"].to(self.device),
+                    attention_mask=mask,
                 ).logits.squeeze(0)
+                # HF pads odd mel-frame counts to an even stacked length;
+                # drop the padded tail frame(s) the mask excludes (the main
+                # framework's mel frontend floors t_mel//2, models/mel.py)
+                n_real = int(mask.sum().item())
+                t_out = n_real
+                if getattr(self.config, "add_adapter", False):
+                    st = int(self.config.adapter_stride)
+                    for _ in range(int(self.config.num_adapter_layers)):
+                        t_out = (t_out + st - 1) // st  # HF conv1d padding=1
+                logits = logits[:t_out]
             else:
                 x = torch.from_numpy(np.ascontiguousarray(normalized)).to(
                     self.device

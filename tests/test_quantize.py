@@ -147,3 +147,73 @@ def test_bf16_weight_storage_bit_identical(setup_aligners=None):
     b = wav2vec2_forward(cast, jnp.asarray(audio), cfg, audio_lens=lens,
                          compute_dtype=jnp.bfloat16)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bf16_weight_storage_bit_identical_new_families():
+    """Same bit-identity contract for the round-3 families' f32-consumed
+    params: SEW-D's rel_embeddings (+ its LN) and per-layer output_norm,
+    the conformer/w2v-BERT depthwise_layer_norm, the BERT adapter's
+    residual/ffn LNs, and the folded BN pos-conv affine."""
+    import jax
+    import jax.numpy as jnp
+
+    from wav2vec2_tpu.config import Wav2Vec2ModelConfig
+    from wav2vec2_tpu.models.ctc_model import _freeze_cfg, wav2vec2_forward
+    from wav2vec2_tpu.models.params import init_params
+    from wav2vec2_tpu.models.quantize import cast_compute_weights_bf16
+
+    rng = np.random.default_rng(0)
+
+    sewd = _freeze_cfg(Wav2Vec2ModelConfig.from_dict(dict(
+        model_type="sew-d", hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64, conv_dim=[16] * 13,
+        conv_kernel=[10, 3, 1, 3, 1, 3, 1, 3, 1, 2, 1, 2, 1],
+        conv_stride=[5, 2, 1, 2, 1, 2, 1, 2, 1, 2, 1, 2, 1],
+        num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+        pad_token_id=0, vocab_size=8, feat_extract_norm="group",
+        conv_bias=False, squeeze_factor=2, position_buckets=16,
+        max_position_embeddings=64,
+    )))
+    bert = _freeze_cfg(Wav2Vec2ModelConfig.from_dict(dict(
+        model_type="wav2vec2-bert", hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64, pad_token_id=0,
+        vocab_size=8, position_embeddings_type="relative_key",
+        left_max_position_embeddings=8, right_max_position_embeddings=2,
+        conv_depthwise_kernel_size=7, hidden_act="swish",
+        add_adapter=True, num_adapter_layers=1,
+    )))
+    mhubert = _freeze_cfg(Wav2Vec2ModelConfig.from_dict(dict(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, conv_dim=[16, 16], conv_kernel=[10, 3],
+        conv_stride=[5, 2], num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4, pad_token_id=0, vocab_size=8,
+        feat_extract_norm="group", conv_bias=False,
+        conv_pos_batch_norm=True,
+    )))
+
+    for cfg in (sewd, bert, mhubert):
+        params = init_params(cfg, jax.random.PRNGKey(0))
+        cast = cast_compute_weights_bf16(params)
+        enc = cast["encoder"]
+        if "rel_embeddings" in enc:
+            assert enc["rel_embeddings"].dtype == jnp.float32
+            assert enc["rel_embeddings_layer_norm"]["weight"].dtype == jnp.float32
+            assert enc["layers"]["output_norm"]["weight"].dtype == jnp.float32
+        if "conv_module" in enc.get("layers", {}):
+            assert (enc["layers"]["conv_module"]["depthwise_layer_norm"]
+                    ["weight"].dtype == jnp.float32)
+        if "batch_norm" in enc.get("pos_conv_embed", {}):
+            assert (enc["pos_conv_embed"]["batch_norm"]["scale"].dtype
+                    == jnp.float32)
+        if "adapter" in cast:
+            layer = cast["adapter"]["layers"]
+            assert layer["residual_layer_norm"]["weight"].dtype == jnp.float32
+            assert layer["ffn_layer_norm"]["weight"].dtype == jnp.float32
+
+        audio = rng.normal(size=(2, 4000)).astype(np.float32)
+        lens = jnp.asarray([4000, 3200], jnp.int32)
+        a = wav2vec2_forward(params, jnp.asarray(audio), cfg,
+                             audio_lens=lens, compute_dtype=jnp.bfloat16)
+        b = wav2vec2_forward(cast, jnp.asarray(audio), cfg,
+                             audio_lens=lens, compute_dtype=jnp.bfloat16)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -224,6 +224,18 @@ def _make_batch_aligner(args, model_cfg, vocab, params):
     )
 
 
+def _with_units(builder, units):
+    """Inject phoneme-mode tokenizer/grouper (shared by both runtimes)."""
+    if units == "phoneme":
+        from ..pipeline.defaults import PhonemeGrouper, PhonemeTokenizer
+
+        builder = (
+            builder.with_tokenizer(PhonemeTokenizer())
+            .with_word_grouper(PhonemeGrouper())
+        )
+    return builder
+
+
 def _make_single_aligner(args, model_dir, model_cfg):
     from ..pipeline.builder import ForcedAlignerBuilder
 
@@ -246,14 +258,7 @@ def _make_single_aligner(args, model_dir, model_cfg):
             device=onnx_device,
         )
         builder = ForcedAlignerBuilder(cfg).with_runtime_backend(backend)
-        if args.units == "phoneme":
-            from ..pipeline.defaults import PhonemeGrouper, PhonemeTokenizer
-
-            builder = (
-                builder.with_tokenizer(PhonemeTokenizer())
-                .with_word_grouper(PhonemeGrouper())
-            )
-        return builder.build()
+        return _with_units(builder, args.units).build()
 
     cfg = Wav2Vec2Config(
         model_path=str(model_dir / "model.safetensors"),
@@ -265,14 +270,7 @@ def _make_single_aligner(args, model_dir, model_cfg):
         ForcedAlignerBuilder(cfg)
         .with_backend_options(compute_dtype=args.compute_dtype)
     )
-    if args.units == "phoneme":
-        from ..pipeline.defaults import PhonemeGrouper, PhonemeTokenizer
-
-        builder = (
-            builder.with_tokenizer(PhonemeTokenizer())
-            .with_word_grouper(PhonemeGrouper())
-        )
-    return builder.build()
+    return _with_units(builder, args.units).build()
 
 
 def run(argv=None) -> int:

@@ -709,34 +709,9 @@ def conformer_encoder_forward(
     ignores them (models/params.py).
 
     Layers are stacked and lax.scan-iterated like the other families."""
-    mask_bias = None
-    if frame_mask is not None:
-        x = x * frame_mask[:, :, None].astype(x.dtype)
-        mask_bias = jnp.where(
-            frame_mask[:, None, None, :].astype(bool), 0.0, -jnp.inf
-        ).astype(jnp.float32)
-
-    t = x.shape[1]
-    style = cfg.position_embeddings_type
-    if style == "rotary":
-        pos = _conformer_rotary(
-            t, cfg.hidden_size // cfg.num_attention_heads,
-            float(cfg.rotary_embedding_base),
-        )
-    elif style == "relative":
-        pos = _conformer_rel_pos_embeddings(t, cfg.hidden_size, x.dtype)
-    elif style == "none":
-        pos = None
-    else:
-        raise NotImplementedError(
-            f"position_embeddings_type {style!r} is not supported "
-            "(expected relative/rotary/none)"
-        )
-
-    def scan_body(h, lp):
-        return _conformer_layer(lp, h, mask_bias, cfg, pos, frame_mask), None
-
-    x, _ = jax.lax.scan(scan_body, x, params["layers"])
+    x = _conformer_stack(
+        params, x, cfg, frame_mask, allowed_styles=("relative", "rotary", "none")
+    )
     return layer_norm(
         x, params["layer_norm"]["weight"], params["layer_norm"]["bias"],
         cfg.layer_norm_eps,
@@ -753,6 +728,23 @@ def conformer_bert_encoder_forward(
     blocks with relative_key / relative / rotary / no position embeddings,
     NO positional conv and NO encoder-level LayerNorm after the layers
     (each block ends in its own final LN)."""
+    return _conformer_stack(
+        params, x, cfg, frame_mask,
+        allowed_styles=("relative_key", "relative", "rotary", "none"),
+    )
+
+
+def _conformer_stack(
+    params: dict,
+    x: jnp.ndarray,
+    cfg: Wav2Vec2ModelConfig,
+    frame_mask: jnp.ndarray | None,
+    allowed_styles: tuple[str, ...],
+) -> jnp.ndarray:
+    """Shared conformer trunk: mask, position embeddings computed once
+    (relative_key reads its distance embedding per layer instead), scanned
+    conformer blocks. The callers differ only in allowed position styles
+    and the trailing encoder-level LayerNorm."""
     mask_bias = None
     if frame_mask is not None:
         x = x * frame_mask[:, :, None].astype(x.dtype)
@@ -762,6 +754,11 @@ def conformer_bert_encoder_forward(
 
     t = x.shape[1]
     style = cfg.position_embeddings_type
+    if style not in allowed_styles:
+        raise NotImplementedError(
+            f"position_embeddings_type {style!r} is not supported "
+            f"(expected {'/'.join(allowed_styles)})"
+        )
     if style == "rotary":
         pos = _conformer_rotary(
             t, cfg.hidden_size // cfg.num_attention_heads,
@@ -769,13 +766,8 @@ def conformer_bert_encoder_forward(
         )
     elif style == "relative":
         pos = _conformer_rel_pos_embeddings(t, cfg.hidden_size, x.dtype)
-    elif style in ("relative_key", "none"):
-        pos = None  # relative_key reads its distance embedding per layer
-    else:
-        raise NotImplementedError(
-            f"position_embeddings_type {style!r} is not supported "
-            "(expected relative_key/relative/rotary/none)"
-        )
+    else:  # relative_key / none
+        pos = None
 
     def scan_body(h, lp):
         return _conformer_layer(lp, h, mask_bias, cfg, pos, frame_mask), None

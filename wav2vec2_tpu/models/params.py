@@ -466,7 +466,9 @@ def params_from_flat_dict(
             pos_weight = get(pos_p + ".weight")
         pos_conv = {"weight": pos_weight, "bias": get(pos_p + ".bias")}
         bn_p = "wav2vec2.encoder.pos_conv_embed.batch_norm"
-        if has(bn_p + ".running_mean"):
+        if getattr(cfg, "conv_pos_batch_norm", False):
+            # gated by CONFIG, not tensor presence — a conv_pos_batch_norm
+            # checkpoint missing the BN stats must fail loudly (get raises)
             # conv_pos_batch_norm (mHuBERT-147 style): inference-mode
             # BatchNorm1d on the conv INPUT is a per-channel affine of the
             # running stats — folded here so the graph stays one conv
@@ -703,13 +705,23 @@ def params_from_flat_dict(
         },
         "lm_head": dense("lm_head"),
     }
-    if has("wav2vec2.intermediate_ffn.intermediate_dense.weight"):
-        # w2v-BERT use_intermediate_ffn_before_adapter (relu, half-step)
+    if getattr(cfg, "use_intermediate_ffn_before_adapter", False):
+        # w2v-BERT use_intermediate_ffn_before_adapter (relu, half-step) —
+        # gated by CONFIG: a checkpoint missing the tensors fails loudly
         tree["intermediate_ffn"] = {
             "intermediate_dense": dense(
                 "wav2vec2.intermediate_ffn.intermediate_dense"),
             "output_dense": dense("wav2vec2.intermediate_ffn.output_dense"),
         }
+    if getattr(cfg, "add_adapter", False) and not (
+        has("wav2vec2.adapter.layers.0.residual_conv.weight")
+        or has("wav2vec2.adapter.layers.0.conv.weight")
+    ):
+        raise RuntimeBackendError(
+            "load weights",
+            "config has add_adapter=true but the checkpoint carries no "
+            "adapter weights (wav2vec2.adapter.layers.*)",
+        )
     if has("wav2vec2.adapter.layers.0.residual_conv.weight"):
         # w2v-BERT conformer-style downsampling adapter
         # (Wav2Vec2BertAdapterLayer): strided GLU convs + position-free

@@ -132,6 +132,10 @@ def cast_compute_weights_bf16(params: dict):
     KEEP_F32_KEYS = {"layer_norm", "final_layer_norm", "norm",
                      "ffn1_layer_norm", "ffn2_layer_norm",
                      "self_attn_layer_norm",  # conformer LNs (f32-consumed)
+                     "depthwise_layer_norm", "output_norm",  # sew/conformer
+                     "rel_embeddings", "rel_embeddings_layer_norm",  # sew-d
+                     "residual_layer_norm", "ffn_layer_norm",  # bert adapter
+                     "proj_layer_norm", "batch_norm",  # adapter/BN pos-conv
                      "rel_attn_embed", "gru_rel_pos_const",
                      "scale"}  # int8 dequant scales stay f32
 

@@ -122,6 +122,12 @@ def export_ctc_model(cfg: Wav2Vec2ModelConfig, params: dict) -> Model:
             "onnx export", "conformer encoders are not part of the ONNX "
             "export surface; use the XLA backend for Wav2Vec2-Conformer"
         )
+    if getattr(cfg, "encoder_style", "wav2vec2") == "conformer_bert":
+        raise RuntimeBackendError(
+            "onnx export", "the Wav2Vec2-BERT mel frontend + conformer "
+            "encoder is not part of the ONNX export surface; use the XLA "
+            "backend for w2v-BERT checkpoints"
+        )
     if getattr(cfg, "encoder_style", "wav2vec2") != "wav2vec2":
         raise RuntimeBackendError(
             "onnx export", "SEW/SEW-D squeezed encoders are not part of the "
