@@ -469,24 +469,6 @@ def sew_encoder_forward(
     return h
 
 
-def _conformer_rel_pos_embeddings(t: int, hidden: int, dtype) -> jnp.ndarray:
-    """Transformer-XL relative position encodings [2T-1, H] for distances
-    d = T-1 … -(T-1) (row j ↔ distance T-1-j), matching transformers
-    Wav2Vec2ConformerRelPositionalEmbedding: even channels sin(d·w_i), odd
-    channels cos(d·w_i), w_i = 10000^(-2i/H). Built directly at trace time
-    (static T) instead of slicing a max_source_positions buffer."""
-    d = (t - 1 - jnp.arange(2 * t - 1, dtype=jnp.float32))[:, None]
-    inv = jnp.exp(
-        jnp.arange(0, hidden, 2, dtype=jnp.float32)
-        * (-math.log(10000.0) / hidden)
-    )[None, :]
-    ang = d * inv
-    pe = jnp.stack([jnp.sin(ang), jnp.cos(ang)], axis=-1).reshape(
-        2 * t - 1, hidden
-    )
-    return pe.astype(dtype)
-
-
 def _conformer_rotary(t: int, head_dim: int, base: float):
     """Rotary cos/sin tables [T, head_dim] (Wav2Vec2ConformerRotary-
     PositionalEmbedding parity: emb = concat(freqs, freqs))."""
@@ -507,9 +489,10 @@ def _conformer_attention(
     style: str | None = None,
 ) -> jnp.ndarray:
     """Wav2Vec2ConformerSelfAttention / Wav2Vec2BertSelfAttention parity.
-    `pos` is (cos, sin) tables for rotary, the [2T-1, H] encoding for
-    relative, None otherwise ("relative_key" carries its clamped-distance
-    embedding in the params). Unlike the wav2vec2 attention, the query is
+    `pos` is (cos, sin) tables for rotary, None otherwise ("relative"
+    builds its factorized sinusoid tables inline; "relative_key" carries
+    its clamped-distance embedding in the params). Unlike the wav2vec2
+    attention, the query is
     NOT pre-scaled — scores divide by sqrt(head_dim) after the position
     terms are added (torch op order, kept for f32 bit-closeness).
     `style` overrides cfg.position_embeddings_type (the w2v-BERT adapter
@@ -541,32 +524,45 @@ def _conformer_attention(
     acc = jnp.float32 if x.dtype == jnp.float32 else x.dtype
     if style == "relative":
         # Transformer-XL scores (1901.02860 §3.3): content term with bias u,
-        # position term with bias v against the projected encodings; the
-        # pad-and-reshape shift trick becomes one static gather
-        # (bd[q, k] = bd_raw[q, T-1-q+k]).
-        pe = pos.astype(x.dtype)
-        pos_proj = jnp.dot(
-            pe, p["linear_pos"]["kernel"].astype(x.dtype),
-            preferred_element_type=x.dtype,
-        ).reshape(2 * t - 1, nh, hd).transpose(1, 0, 2)  # [nh, 2T-1, hd]
+        # position term with bias v against the projected encodings.
+        #
+        # The position term is FACTORIZED instead of materialized: since the
+        # encodings are sinusoidal (pe[d, 2m] = sin(d·w_m), pe[d, 2m+1] =
+        # cos(d·w_m)) and linear_pos is linear, the angle-difference
+        # identities sin((i-k)w) = sin(iw)cos(kw) - cos(iw)sin(kw) and
+        # cos((i-k)w) = cos(iw)cos(kw) + sin(iw)sin(kw) split bd[i, k] =
+        # (q_i + v)·W_pos·pe_{i-k} exactly into U[i, :] · G[k, :] with inner
+        # dimension H — one ordinary MXU matmul. This removes the
+        # [B, H, T, 2T-1] score tensor (~3.8 GB/layer HBM traffic at B=32,
+        # T=499) AND the Transformer-XL shift entirely; the reference's
+        # implementations (torch view trick / pad+reshape here before) all
+        # pay that tensor. Matches HF Wav2Vec2ConformerSelfAttention to fp
+        # reassociation (~1e-6 relative; parity-tested).
         bias_u = p["pos_bias_u"].astype(x.dtype)[None, :, None, :]
         bias_v = p["pos_bias_v"].astype(x.dtype)[None, :, None, :]
         ac = jnp.einsum(
             "bhqd,bhkd->bhqk", q + bias_u, k, preferred_element_type=acc
         )
-        bd = jnp.einsum(
-            "bhqd,hjd->bhqj", q + bias_v, pos_proj, preferred_element_type=acc
-        )  # [B, nh, T, 2T-1]
-        # the Transformer-XL shift (bd[q, k] = bd_raw[q, T-1-q+k]) as
-        # pad + reshape + slice: the reshape is a free buffer
-        # reinterpretation, so this costs two layout copies where a
-        # take_along_axis gather measures ~2× slower standalone and
-        # pathologically worse under lax.scan (~50 ms/layer at B=32,
-        # T=499 — the broadcasted [T, T] index defeats Mosaic's layout
-        # propagation; see BENCHMARKS.md round-4 conformer notes)
-        bd = jnp.pad(bd, ((0, 0), (0, 0), (0, 0), (1, 0)))
-        bd = bd.reshape(b, nh, 2 * t, t)[:, :, 1:, :]
-        bd = bd.reshape(b, nh, t, 2 * t - 1)[..., :t]
+        # ā[b,h,i,C] = Σ_d' (q+v)[b,h,i,d'] · W_pos[C, h·hd+d']  ∈ R^H
+        w_pos = p["linear_pos"]["kernel"].astype(x.dtype).reshape(h, nh, hd)
+        a_bar = jnp.einsum(
+            "bhid,chd->bhic", q + bias_v, w_pos, preferred_element_type=x.dtype
+        ).reshape(b, nh, t, h // 2, 2)
+        inv = jnp.exp(
+            jnp.arange(0, h, 2, dtype=jnp.float32)
+            * (-math.log(10000.0) / h)
+        )
+        ang = jnp.arange(t, dtype=jnp.float32)[:, None] * inv[None, :]
+        sin_t = jnp.sin(ang).astype(x.dtype)  # [T, H/2]
+        cos_t = jnp.cos(ang).astype(x.dtype)
+        a_sin, a_cos = a_bar[..., 0], a_bar[..., 1]  # pe even=sin, odd=cos
+        u = jnp.concatenate(
+            [a_sin * sin_t + a_cos * cos_t,    # pairs with cos(k·w)
+             a_cos * sin_t - a_sin * cos_t],   # pairs with sin(k·w)
+            axis=-1,
+        )  # [B, nh, T, H]
+        g = jnp.concatenate([cos_t, sin_t], axis=-1)  # [T, H]
+        bd = jnp.einsum("bhim,km->bhik", u, g, preferred_element_type=acc)
         scores = (ac + bd) / jnp.asarray(hd**0.5, acc)
     else:
         scores = jnp.einsum(
@@ -764,10 +760,8 @@ def _conformer_stack(
             t, cfg.hidden_size // cfg.num_attention_heads,
             float(cfg.rotary_embedding_base),
         )
-    elif style == "relative":
-        pos = _conformer_rel_pos_embeddings(t, cfg.hidden_size, x.dtype)
-    else:  # relative_key / none
-        pos = None
+    else:  # relative builds its factorized tables in-attention;
+        pos = None  # relative_key reads its distance embedding per layer
 
     def scan_body(h, lp):
         return _conformer_layer(lp, h, mask_bias, cfg, pos, frame_mask), None
