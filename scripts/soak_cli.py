@@ -96,9 +96,14 @@ def make_dataset(root: Path, n_cases: int, dur_lo: float, dur_hi: float,
         dur = float(rng.uniform(dur_lo, dur_hi))
         n = int(dur * 16000)
         total_audio_s += n / 16000.0
-        x = np.clip(
-            np.cumsum(rng.integers(-120, 120, size=n)), -30000, 30000
-        ).astype(np.int64)
+        # bounded random walk via REFLECTION, not clipping: clipping
+        # saturates into exactly-constant stretches whose frames have zero
+        # variance — real audio never does, and the mel frontend's
+        # log-power at the 2^-23 floor makes cross-implementation
+        # comparison of such frames meaningless (verified: the only
+        # w2v-BERT quality-sweep outliers were clipped-constant frames)
+        x = np.cumsum(rng.integers(-120, 120, size=n))
+        x = np.abs(((x + 30000) % 120000) - 60000) - 30000
         uid = f"1-{chapter}-{i:04d}"
         write_flac(chap_dir / f"{uid}.flac", x, 16000)
         n_words = max(3, int(dur * words_per_sec))

@@ -97,7 +97,8 @@ class TorchForcedAligner:
 
     BLANK_EXPANSION = (12, 6, 4)  # (min_interior, max_left, max_right)
 
-    def __init__(self, model_dir: str | Path, device: str = "cpu"):
+    def __init__(self, model_dir: str | Path, device: str = "cpu",
+                 units: str = "word"):
         import torch
         import transformers
 
@@ -139,7 +140,12 @@ class TorchForcedAligner:
             )
 
         vocab = json.loads((model_dir / "vocab.json").read_text())
-        self.vocab = {k: int(v) for k, v in vocab.items() if len(k) == 1}
+        self.units = units
+        if units == "phoneme":
+            # phoneme vocabs keep multi-codepoint symbols verbatim
+            self.vocab = {k: int(v) for k, v in vocab.items()}
+        else:
+            self.vocab = {k: int(v) for k, v in vocab.items() if len(k) == 1}
         self.blank_id = int(self.config.pad_token_id)
         self.sep_id = self.vocab.get("|", 0)
         self.frame_stride_ms = stride / 16_000.0 * 1000.0
@@ -188,6 +194,67 @@ class TorchForcedAligner:
                 tokens += [self.vocab[c], self.blank_id]
                 chars += [c, None]
         return tokens, chars, words
+
+    def tokenize_phoneme(self, transcript: str):
+        """Phoneme-CTC contract: whitespace-separated symbols looked up
+        VERBATIM (multi-codepoint allowed), unknown symbols dropped, "|" /
+        word_sep_id emits one separator state (deduped), blanks
+        interleaved. Fresh implementation of
+        align/tokenization.build_token_sequence_phoneme's published
+        behavior."""
+        tokens: list[int] = [self.blank_id]
+        chars: list[str | None] = [None]
+        emitted = False
+        for sym in transcript.split():
+            tid = self.vocab.get(sym)
+            if tid is None:
+                continue
+            if sym == "|" or tid == self.sep_id:
+                if emitted and tokens[-2] != self.sep_id:
+                    tokens += [self.sep_id, self.blank_id]
+                    chars += ["|", None]
+                continue
+            tokens += [tid, self.blank_id]
+            chars += [sym, None]
+            emitted = True
+        return tokens, chars
+
+    def group_phonemes(
+        self,
+        path: list[tuple[int, int]],
+        log_probs_np: np.ndarray,
+        tokens: list[int],
+        chars: list[str | None],
+    ) -> list[WordTiming]:
+        """Unit-level grouping: each maximal per-STATE run of non-blank,
+        non-separator frames is one tight unit [first, last+1)·stride — no
+        blank expansion; confidence is the geometric mean of the emission
+        posteriors over ALL frames of the run."""
+        units: list[WordTiming] = []
+        stride = self.frame_stride_ms
+        run_state, run_start, run_sum = -1, 0, 0.0
+
+        def flush(end_frame: int):
+            if run_state < 0:
+                return
+            tok = tokens[run_state]
+            if tok in (self.blank_id, self.sep_id):
+                return
+            n = end_frame - run_start
+            start_ms = int(round(run_start * stride))
+            end_ms = max(int(round(end_frame * stride)), start_ms + 1)
+            units.append(WordTiming(
+                word=chars[run_state], start_ms=start_ms, end_ms=end_ms,
+                confidence=math.exp(run_sum / n) if n else None,
+            ))
+
+        for s, t in path:
+            if s != run_state:
+                flush(t)
+                run_state, run_start, run_sum = s, t, 0.0
+            run_sum += float(log_probs_np[t, tokens[s]])
+        flush(len(path))
+        return units
 
     # -- stage 2: acoustic model forward -----------------------------------
 
@@ -383,7 +450,10 @@ class TorchForcedAligner:
         log_probs_np = log_probs.cpu().numpy()
         timings["post_ms"] = (time.perf_counter() - t0) * 1000.0
 
-        tokens, chars, _ = self.tokenize(transcript)
+        if self.units == "phoneme":
+            tokens, chars = self.tokenize_phoneme(transcript)
+        else:
+            tokens, chars, _ = self.tokenize(transcript)
         t_len = int(log_probs.shape[0])
         if not tokens or t_len < (len(tokens) + 1) // 2:
             raise ValueError(
@@ -394,23 +464,29 @@ class TorchForcedAligner:
         path = self.trellis_align(log_probs, tokens)
         timings["dp_ms"] = (time.perf_counter() - t0) * 1000.0
 
-        t0 = time.perf_counter()
-        words = self.group_words(path, log_probs_np, tokens, chars)
-        words = self.expand_balanced(words, t_len)
-        timings["group_ms"] = (time.perf_counter() - t0) * 1000.0
+        if self.units == "phoneme":
+            t0 = time.perf_counter()
+            out = self.group_phonemes(path, log_probs_np, tokens, chars)
+            timings["group_ms"] = (time.perf_counter() - t0) * 1000.0
+            timings["conf_ms"] = 0.0
+        else:
+            t0 = time.perf_counter()
+            words = self.group_words(path, log_probs_np, tokens, chars)
+            words = self.expand_balanced(words, t_len)
+            timings["group_ms"] = (time.perf_counter() - t0) * 1000.0
 
-        t0 = time.perf_counter()
-        stride = self.frame_stride_ms
-        out = [
-            WordTiming(
-                word=w.text,
-                start_ms=int(round(w.start_frame * stride)),
-                end_ms=int(round((w.end_frame + 1) * stride)),
-                confidence=self.confidence(w),
-            )
-            for w in words
-        ]
-        timings["conf_ms"] = (time.perf_counter() - t0) * 1000.0
+            t0 = time.perf_counter()
+            stride = self.frame_stride_ms
+            out = [
+                WordTiming(
+                    word=w.text,
+                    start_ms=int(round(w.start_frame * stride)),
+                    end_ms=int(round((w.end_frame + 1) * stride)),
+                    confidence=self.confidence(w),
+                )
+                for w in words
+            ]
+            timings["conf_ms"] = (time.perf_counter() - t0) * 1000.0
 
         timings["align_ms"] = (
             timings["dp_ms"] + timings["group_ms"] + timings["conf_ms"]
@@ -431,6 +507,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--model-dir", required=True)
     p.add_argument("--dataset-root", required=True)
     p.add_argument("--device", default="cpu", choices=["cpu"])
+    p.add_argument("--units", default="word", choices=["word", "phoneme"],
+                   help="phoneme: whitespace-separated vocab symbols in, "
+                        "one tight timing unit per phone out (the CLI's "
+                        "--units phoneme analog, fresh implementation)")
     p.add_argument(
         "--output-format", default="textgrid", choices=["textgrid", "perf"]
     )
@@ -459,7 +539,8 @@ def run(argv=None) -> int:
         print("error: no cases found", file=sys.stderr)
         return 1
 
-    aligner = TorchForcedAligner(args.model_dir, device=args.device)
+    aligner = TorchForcedAligner(args.model_dir, device=args.device,
+                                 units=args.units)
     print(
         f"[torch_reference_driver] {len(cases)} cases, device={args.device}, "
         f"stride={aligner.frame_stride_ms:.1f} ms",

@@ -270,3 +270,71 @@ def test_cross_implementation_textgrids_per_family(
     for key in ("median_start_diff_ms", "median_end_diff_ms",
                 "median_word_middle_diff_ms"):
         assert abs(stats[key]) <= 5.0, (family, stats)
+
+
+def test_cross_implementation_phoneme_units(tmp_path):
+    """Driver --units phoneme vs the CLI's --units phoneme: same tight
+    per-phone units (fresh torch implementations of the phoneme tokenize +
+    unit-grouping contracts vs align/tokenization.py +
+    align/grouping/phoneme.py)."""
+    import transformers
+    from safetensors.numpy import save_file
+
+    from wav2vec2_tpu.cli.alignment_report import run as cli_run
+    from wav2vec2_tpu.data.flac_encoder import write_flac
+
+    mdir = tmp_path / "model"
+    mdir.mkdir()
+    hf_cfg = transformers.Wav2Vec2Config(**{**CONFIG, "vocab_size": 16})
+    torch.manual_seed(11)
+    tm = transformers.Wav2Vec2ForCTC(hf_cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    sd.pop("wav2vec2.masked_spec_embed", None)
+    save_file(sd, str(mdir / "model.safetensors"))
+    (mdir / "config.json").write_text(json.dumps(
+        {**CONFIG, "vocab_size": 16}))
+    vocab = {"<pad>": 0, "|": 4, "a": 5, "ɛ̃": 6, "tʃ": 7, "k": 8, "u": 9}
+    (mdir / "vocab.json").write_text(json.dumps(vocab))
+
+    root = tmp_path / "data"
+    base = root / "LibriSpeech" / "test-clean" / "7" / "7"
+    base.mkdir(parents=True)
+    rng = np.random.default_rng(5)
+    lines = []
+    for i, text in enumerate(["a ɛ̃ tʃ u", "k u | a a", "tʃ ɛ̃ k"]):
+        uid = f"7-7-{i:04d}"
+        x = np.clip(np.cumsum(rng.integers(-80, 80, size=16000)),
+                    -30000, 30000)
+        write_flac(base / f"{uid}.flac", x.astype(np.int64), 16000)
+        lines.append(f"{uid} {text}")
+    (base / "7-7.trans.txt").write_text("\n".join(lines))
+
+    rc = driver_run([
+        "--model-dir", str(mdir), "--dataset-root", str(root),
+        "--output-format", "textgrid", "--units", "phoneme",
+        "--progress-every", "0",
+    ])
+    assert rc == 0
+    rc = cli_run([
+        "--model-dir", str(mdir), "--dataset-root", str(root),
+        "--compute-dtype", "float32", "--output-format", "textgrid",
+        "--textgrid-suffix", "_tpu", "--units", "phoneme",
+    ])
+    assert rc == 0
+
+    from wav2vec2_tpu.data.textgrid import parse_textgrid_file
+
+    n_units = 0
+    for b in sorted(root.rglob("*[0-9].TextGrid")):
+        ref = parse_textgrid_file(b).tier("words")
+        got = parse_textgrid_file(
+            b.with_name(b.stem + "_tpu.TextGrid")).tier("words")
+        ref_iv = [iv for iv in ref.intervals if iv.text.strip()]
+        got_iv = [iv for iv in got.intervals if iv.text.strip()]
+        assert [iv.text for iv in ref_iv] == [iv.text for iv in got_iv]
+        for r, g in zip(ref_iv, got_iv):
+            mid_r = (r.xmin + r.xmax) / 2
+            mid_g = (g.xmin + g.xmax) / 2
+            assert abs(mid_r - mid_g) * 1000 <= 5.0
+            n_units += 1
+    assert n_units >= 10  # phones actually flowed through both paths
