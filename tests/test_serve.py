@@ -443,3 +443,47 @@ def test_stream_push_rejects_wrong_sample_rate(stream_server):
                      payload={"audio": [0.0] * 100, "sample_rate_hz": 8000})
     assert code == 400 and "16000" in out["error"]
     _req(url, f"/stream/{sid}", method="DELETE")
+
+
+def test_serve_phoneme_units(tmp_path_factory):
+    """--units phoneme end to end through the daemon: verbatim phoneme
+    vocab, per-phone units in the /align response."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from safetensors.numpy import save_file
+
+    d = tmp_path_factory.mktemp("serve_phoneme_model")
+    cfg_d = {**CONFIG, "vocab_size": 16}
+    hf_cfg = transformers.Wav2Vec2Config(**cfg_d)
+    torch.manual_seed(2)
+    tm = transformers.Wav2Vec2ForCTC(hf_cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    sd.pop("wav2vec2.masked_spec_embed", None)
+    save_file(sd, str(d / "model.safetensors"))
+    (d / "config.json").write_text(json.dumps(cfg_d))
+    vocab = {"<pad>": 0, "|": 4, "a": 5, "ɛ̃": 6, "tʃ": 7, "k": 8, "u": 9}
+    (d / "vocab.json").write_text(json.dumps(vocab))
+
+    service, device = build_service_from_model_dir(
+        d, compute_dtype="float32", window_ms=20.0, max_batch=4,
+        units="phoneme",
+    )
+    httpd = AlignHTTPServer(("127.0.0.1", 0), make_handler(service, device))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{httpd.server_port}"
+        rng = np.random.default_rng(3)
+        audio = (rng.normal(size=8000) * 0.1).astype(np.float32)
+        status, body = _post(url, {
+            "audio": audio.tolist(), "transcript": "a ɛ̃ tʃ u",
+            "sample_rate": 16000,
+        })
+        assert status == 200, body
+        words = [w["word"] for w in body["words"]]
+        assert words == ["a", "ɛ̃", "tʃ", "u"]
+        for w in body["words"]:
+            assert w["end_ms"] > w["start_ms"]
+    finally:
+        httpd.shutdown()
+        service.close()

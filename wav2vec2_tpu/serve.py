@@ -552,6 +552,7 @@ def build_service_from_model_dir(
     window_ms: float = 25.0,
     max_batch: int = 64,
     quantize_int8: bool = False,
+    units: str = "word",
 ):
     """Model dir contract matches the CLI (config.json + vocab.json +
     model.safetensors, builder.rs:59-95)."""
@@ -563,7 +564,9 @@ def build_service_from_model_dir(
 
     model_dir = Path(model_dir)
     cfg = Wav2Vec2ModelConfig.load(model_dir / "config.json")
-    vocab = load_vocab(model_dir / "vocab.json")
+    # phoneme vocabs carry multi-codepoint symbols looked up verbatim
+    vocab = load_vocab(model_dir / "vocab.json",
+                       single_char_only=(units != "phoneme"))
     params = load_safetensors_params(
         model_dir / "model.safetensors", cfg,
         # cast host-side so the upload ships bf16 (half transfer/HBM);
@@ -575,7 +578,7 @@ def build_service_from_model_dir(
     )
     aligner = BatchAligner(
         cfg, params, vocab, compute_dtype=compute_dtype,
-        quantize_int8=quantize_int8,
+        quantize_int8=quantize_int8, units=units,
         # normalization runs inside the batch graph (bench.py's path):
         # host-side f64 normalize costs ~1-2 s per 32×10 s batch, serial
         # with the worker thread; equivalence is tested in
@@ -598,6 +601,9 @@ def main(argv=None) -> int:
     p.add_argument("--compute-dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--quantize-int8", action="store_true")
+    p.add_argument("--units", default="word", choices=["word", "phoneme"],
+                   help="phoneme: per-phone timing units (phoneme-CTC "
+                        "vocab symbols looked up verbatim)")
     p.add_argument("--max-streams", type=int, default=32,
                    help="max concurrent live /stream sessions")
     p.add_argument("--stream-idle-timeout", type=float, default=600.0,
@@ -618,7 +624,7 @@ def main(argv=None) -> int:
     service, device = build_service_from_model_dir(
         args.model_dir, compute_dtype=args.compute_dtype,
         window_ms=args.window_ms, max_batch=args.max_batch,
-        quantize_int8=args.quantize_int8,
+        quantize_int8=args.quantize_int8, units=args.units,
     )
     if args.warmup_seconds.strip():
         durations = [float(d) for d in args.warmup_seconds.split(",") if d.strip()]
