@@ -277,9 +277,12 @@ class TorchForcedAligner:
                 n_real = int(mask.sum().item())
                 t_out = n_real
                 if getattr(self.config, "add_adapter", False):
+                    # HF adapter conv arithmetic: kernel k, stride st,
+                    # padding st//2 -> floor((t + 2*(st//2) - k)/st) + 1
                     st = int(self.config.adapter_stride)
+                    k = int(self.config.adapter_kernel_size)
                     for _ in range(int(self.config.num_adapter_layers)):
-                        t_out = (t_out + st - 1) // st  # HF conv1d padding=1
+                        t_out = (t_out + 2 * (st // 2) - k) // st + 1
                 logits = logits[:t_out]
             else:
                 x = torch.from_numpy(np.ascontiguousarray(normalized)).to(

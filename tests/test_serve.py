@@ -468,7 +468,12 @@ def test_serve_phoneme_units(tmp_path_factory):
         d, compute_dtype="float32", window_ms=20.0, max_batch=4,
         units="phoneme",
     )
-    httpd = AlignHTTPServer(("127.0.0.1", 0), make_handler(service, device))
+    from wav2vec2_tpu.serve import StreamRegistry
+
+    streams = StreamRegistry(service.aligner, "float32", units="phoneme")
+    httpd = AlignHTTPServer(
+        ("127.0.0.1", 0), make_handler(service, device, streams)
+    )
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
     try:
@@ -484,6 +489,13 @@ def test_serve_phoneme_units(tmp_path_factory):
         assert words == ["a", "ɛ̃", "tʃ", "u"]
         for w in body["words"]:
             assert w["end_ms"] > w["start_ms"]
+
+        # /stream declines phoneme mode loudly (OnlineAligner finalization
+        # is word-mode only) instead of silently word-aligning
+        status, body = _req(url, "/stream",
+                            payload={"transcript": "a ɛ̃ tʃ u"}, timeout=30)
+        assert status == 400, body
+        assert "phoneme" in json.dumps(body)
     finally:
         httpd.shutdown()
         service.close()

@@ -232,9 +232,10 @@ class StreamRegistry:
     _EXPIRED_MEMORY = 256  # recently-ended sids remembered for 404 clarity
 
     def __init__(self, aligner, compute_dtype: str, max_streams: int = 32,
-                 idle_timeout_s: float = 600.0):
+                 idle_timeout_s: float = 600.0, units: str = "word"):
         self._aligner = aligner
         self._compute_dtype = compute_dtype
+        self._units = units
         self._max = max_streams
         self._idle_timeout_s = idle_timeout_s
         self._lock = threading.Lock()
@@ -267,6 +268,16 @@ class StreamRegistry:
         import uuid
 
         from .align.online import OnlineAligner
+
+        if self._units != "word":
+            # OnlineAligner's incremental finalization is word-mode only;
+            # serving phoneme units on /stream would silently fall back to
+            # word tokenization (dropping multi-codepoint symbols) — decline
+            # loudly instead, /align serves phoneme mode
+            raise InvalidInputError(
+                f"/stream does not support --units {self._units}; use "
+                "/align for per-phone units"
+            )
 
         # clamp client-supplied knobs: each distinct window size is a
         # separate XLA program — clients must not be able to force
@@ -634,7 +645,7 @@ def main(argv=None) -> int:
               f"{time.perf_counter() - t0:.1f} s", flush=True)
     streams = StreamRegistry(
         service.aligner, args.compute_dtype, max_streams=args.max_streams,
-        idle_timeout_s=args.stream_idle_timeout,
+        idle_timeout_s=args.stream_idle_timeout, units=args.units,
     )
     server = AlignHTTPServer(
         (args.host, args.port),
