@@ -154,3 +154,35 @@ def test_online_flush_min_frames_guard(tiny_model):
     online.push(np.zeros(2000, np.float32))
     with pytest.raises(InvalidInputError, match="too short"):
         online.flush()
+
+
+def test_online_phoneme_units(tiny_model):
+    """units='phoneme': the online aligner finalizes one tight unit per
+    phone, identical to the offline phoneme grouping over the same adopted
+    log-probs; finalized units never change across pushes."""
+    import jax
+
+    from wav2vec2_tpu.align.online import OnlineAligner
+    from wav2vec2_tpu.models.params import init_params
+    from wav2vec2_tpu.pipeline.runtime import normalize_audio
+
+    cfg, params, _ = tiny_model
+    vocab = {"a": 1, "b": 2, "|": 3, "tʃ": 4, "ɛ̃": 5}
+    rng = np.random.default_rng(7)
+    audio = normalize_audio(rng.normal(size=32_000).astype(np.float32))
+    transcript = "a tʃ ɛ̃ b | a tʃ"
+
+    ol = OnlineAligner(cfg, params, vocab, transcript, chunk_sec=1.0,
+                       overlap_sec=0.25, finalize_margin_sec=0.5,
+                       normalize="none", units="phoneme")
+    streamed = []
+    for i in range(0, len(audio), 5000):
+        streamed.extend(ol.push(audio[i: i + 5000]))
+    out = ol.flush()
+    assert [u.word for u in out.words] == ["a", "tʃ", "ɛ̃", "b", "a", "tʃ"]
+    for u, v in zip(out.words, out.words[1:]):
+        assert u.end_ms <= v.start_ms or u.start_ms <= v.start_ms
+        assert u.end_ms > u.start_ms
+    # finalized-units-never-change contract
+    for s, w in zip(streamed, out.words):
+        assert (s.word, s.start_ms, s.end_ms) == (w.word, w.start_ms, w.end_ms)

@@ -479,7 +479,7 @@ def test_serve_phoneme_units(tmp_path_factory):
     try:
         url = f"http://127.0.0.1:{httpd.server_port}"
         rng = np.random.default_rng(3)
-        audio = (rng.normal(size=8000) * 0.1).astype(np.float32)
+        audio = (rng.normal(size=48000) * 0.1).astype(np.float32)
         status, body = _post(url, {
             "audio": audio.tolist(), "transcript": "a ɛ̃ tʃ u",
             "sample_rate": 16000,
@@ -490,12 +490,25 @@ def test_serve_phoneme_units(tmp_path_factory):
         for w in body["words"]:
             assert w["end_ms"] > w["start_ms"]
 
-        # /stream declines phoneme mode loudly (OnlineAligner finalization
-        # is word-mode only) instead of silently word-aligning
-        status, body = _req(url, "/stream",
-                            payload={"transcript": "a ɛ̃ tʃ u"}, timeout=30)
-        assert status == 400, body
-        assert "phoneme" in json.dumps(body)
+        # /stream in a phoneme daemon finalizes per-phone units too
+        status, body = _req(url, "/stream", payload={
+            "transcript": "a ɛ̃ tʃ u", "chunk_sec": 1.0,
+            "overlap_sec": 0.25, "finalize_margin_sec": 0.5}, timeout=60)
+        assert status == 200, body
+        sid = body["stream_id"]
+        streamed = []
+        for i in range(0, len(audio), 2000):
+            status, out = _req(url, f"/stream/{sid}", payload={
+                "audio": audio[i:i + 2000].tolist()}, timeout=60)
+            assert status == 200, out
+            streamed.extend(out["words"])
+        status, out = _req(url, f"/stream/{sid}/flush", timeout=60)
+        assert status == 200, out
+        assert [w["word"] for w in out["words"]] == ["a", "ɛ̃", "tʃ", "u"]
+        # already-streamed finalized units reappear verbatim in the total
+        for s, w in zip(streamed, out["words"]):
+            assert (s["word"], s["start_ms"], s["end_ms"]) == (
+                w["word"], w["start_ms"], w["end_ms"])
     finally:
         httpd.shutdown()
         service.close()

@@ -36,7 +36,11 @@ import numpy as np
 from ..config import AlignerHyperParams, Wav2Vec2ModelConfig
 from ..types import AlignmentOutput, WordTiming
 from .grouping import frame_evidence_from_log_probs, group_into_words
-from .tokenization import build_token_sequence_case_aware
+from .grouping.phoneme import group_into_phonemes
+from .tokenization import (
+    build_token_sequence_case_aware,
+    build_token_sequence_phoneme,
+)
 
 _NEG = np.float32(-np.inf)
 
@@ -137,11 +141,17 @@ class OnlineAligner:
         compute_dtype: str = "float32",
         normalize: str = "window",
         hp: AlignerHyperParams | None = None,
+        units: str = "word",
     ):
         """normalize: "window" (default — per-window zero-mean/unit-var,
         the only option for live input where global stats are unknown) or
         "none" (caller pre-normalized; gives exact agreement with the
-        offline path on the same frames)."""
+        offline path on the same frames).
+
+        units: "word" (default) or "phoneme" — phoneme streams tokenize
+        whitespace-separated vocab symbols verbatim and finalize one tight
+        unit per phone (same incremental machinery: per-state runs are
+        append-only under a stable prefix path exactly like words)."""
         import jax.numpy as jnp
 
         from ..errors import InvalidInputError
@@ -154,9 +164,17 @@ class OnlineAligner:
         # samples per output frame (mel frontend / adapter aware)
         self.stride = model_cfg.frame_stride_samples()
         self.stride_ms = model_cfg.frame_stride_ms(sample_rate)
-        self.seq = build_token_sequence_case_aware(
-            transcript, vocab, self.blank_id, self.word_sep_id
-        )
+        if units not in ("word", "phoneme"):
+            raise InvalidInputError(f"unknown units {units!r}")
+        self.units = units
+        if units == "phoneme":
+            self.seq = build_token_sequence_phoneme(
+                transcript, vocab, self.blank_id, self.word_sep_id
+            )
+        else:
+            self.seq = build_token_sequence_case_aware(
+                transcript, vocab, self.blank_id, self.word_sep_id
+            )
         self.dp = IncrementalViterbi(np.asarray(self.seq.tokens))
 
         self.chunk = (int(chunk_sec * sample_rate) // self.stride) * self.stride
@@ -264,10 +282,17 @@ class OnlineAligner:
         ev = frame_evidence_from_log_probs(
             lp_all, self.seq.tokens, path, self.blank_id
         )
-        words = group_into_words(
-            path, self.seq.tokens, self.seq.chars, self.seq.normalized_words,
-            ev, self.blank_id, self.word_sep_id, self.stride_ms, self.hp,
-        )
+        if self.units == "phoneme":
+            words = group_into_phonemes(
+                path, self.seq, ev, self.blank_id, self.word_sep_id,
+                self.stride_ms,
+            )
+        else:
+            words = group_into_words(
+                path, self.seq.tokens, self.seq.chars,
+                self.seq.normalized_words, ev, self.blank_id,
+                self.word_sep_id, self.stride_ms, self.hp,
+            )
         cut_ms = cut_frame * self.stride_ms
         out = []
         k = len(self._emitted)
@@ -354,5 +379,9 @@ class OnlineAligner:
                     f"audio too short for transcript: {self._n_rows} "
                     f"frames < {min_frames} required"
                 )
-        self._finalize(self._n_rows + 1)
+        # emit EVERYTHING: a frame-count cut converts to ms and the tight
+        # units' min-1-ms-width rule can push the final unit's end_ms to
+        # exactly (n_rows+1)·stride_ms at sub-ms frame strides, which the
+        # `end_ms >= cut_ms` test would drop
+        self._finalize(float("inf"))
         return AlignmentOutput(words=list(self._emitted))

@@ -269,16 +269,6 @@ class StreamRegistry:
 
         from .align.online import OnlineAligner
 
-        if self._units != "word":
-            # OnlineAligner's incremental finalization is word-mode only;
-            # serving phoneme units on /stream would silently fall back to
-            # word tokenization (dropping multi-codepoint symbols) — decline
-            # loudly instead, /align serves phoneme mode
-            raise InvalidInputError(
-                f"/stream does not support --units {self._units}; use "
-                "/align for per-phone units"
-            )
-
         # clamp client-supplied knobs: each distinct window size is a
         # separate XLA program — clients must not be able to force
         # hour-long windows or unbounded shapes
@@ -305,7 +295,7 @@ class StreamRegistry:
                 self._aligner.cfg, self._aligner.params, self._aligner.vocab,
                 transcript, chunk_sec=chunk_sec, overlap_sec=overlap_sec,
                 finalize_margin_sec=finalize_margin_sec,
-                compute_dtype=self._compute_dtype,
+                compute_dtype=self._compute_dtype, units=self._units,
             ), time.monotonic())
             return sid
 
