@@ -148,9 +148,30 @@ def main():
     }))
 
 
+def _watchdog(seconds: float = 1500.0):
+    # a WEDGED TPU worker (seen once: a program load that never returns)
+    # hangs inside the runtime with no exception — without a deadline the
+    # bench would block its caller forever. Normal runs finish in 3-5 min
+    # including cold compile; 25 min means genuinely stuck.
+    import os
+    import sys
+    import threading
+    import time
+
+    def fire():
+        time.sleep(seconds)
+        print(f"bench watchdog: no result after {seconds:.0f}s — TPU "
+              "worker unresponsive; aborting", file=sys.stderr)
+        sys.stderr.flush()
+        os._exit(3)
+
+    threading.Thread(target=fire, daemon=True).start()
+
+
 def _main_with_retry():
     # the TPU tunnel occasionally drops a worker; one retry covers it so the
     # benchmark record is never silently missing
+    _watchdog()
     try:
         main()
     except Exception as e:
