@@ -338,3 +338,20 @@ def test_cross_implementation_phoneme_units(tmp_path):
             assert abs(mid_r - mid_g) * 1000 <= 5.0
             n_units += 1
     assert n_units >= 10  # phones actually flowed through both paths
+
+
+def test_family_registry_consistency():
+    """The sweep table, the fixture specs, and the model presets must stay
+    in sync: every swept family has a fixture spec, and every spec's
+    geometry keys parse through the production config loader."""
+    from family_model_dirs import FAMILY_SPECS
+    from quality_families import SWEEP
+
+    from wav2vec2_tpu.config import Wav2Vec2ModelConfig
+
+    for fam in SWEEP:
+        assert fam in FAMILY_SPECS, fam
+    for fam, spec in FAMILY_SPECS.items():
+        d = {**spec, "pad_token_id": 0, "vocab_size": 32}
+        cfg = Wav2Vec2ModelConfig.from_dict(d)
+        assert cfg.frame_stride_samples() > 0, fam
