@@ -233,6 +233,69 @@ def run_case(case_id: str, transcript: str, t_len: int, seed: int,
     }
 
 
+PHONEME_OUT_PATH = Path(__file__).parent / "phoneme_cases.json"
+
+# IPA-style phoneme vocab: multi-codepoint symbols exercise the verbatim
+# lookup the word path's single-char rule would destroy
+PHONEME_VOCAB: dict[str, int] = {
+    "<pad>": 0, "|": 4, "a": 5, "b": 6, "k": 7, "u": 8, "ɛ̃": 9, "tʃ": 10,
+    "ʃ": 11, "ɔ̃": 12, "t t": 13, "ə": 14,
+}
+
+# (case_id, transcript, T, seed, noise, signal, smear)
+PHONEME_CASES = [
+    ("phones_basic", "a tʃ ɛ̃ b", 90, 30, 1.0, 6.0, 0.0),
+    ("phones_word_seps", "k u | a tʃ | ɛ̃ ə", 160, 31, 1.0, 6.0, 0.0),
+    ("phones_repeated", "a a tʃ tʃ ʃ", 140, 32, 1.2, 5.0, 0.0),
+    ("phones_unknown_dropped", "a xx tʃ yy ɔ̃", 110, 33, 1.0, 6.0, 0.0),
+    ("phones_noisy", "ɛ̃ ɔ̃ ʃ tʃ ə a", 220, 34, 2.5, 3.5, 0.5),
+    ("phones_tight", "a b", 8, 35, 0.8, 6.0, 0.0),
+]
+
+
+def run_phoneme_case(case_id: str, transcript: str, t_len: int, seed: int,
+                     noise: float, signal: float, smear: float) -> dict:
+    from wav2vec2_tpu.align.grouping.phoneme import group_into_phonemes
+
+    seq = tokenization.build_token_sequence_phoneme(
+        transcript, PHONEME_VOCAB, BLANK_ID, SEP_ID
+    )
+    lp = synth_log_probs(seq.tokens, t_len, seed, noise, signal, smear)
+    path = viterbi_ref.viterbi_numpy(lp, np.asarray(seq.tokens))
+    states = [s for s, _ in path]
+    evidence = frame_evidence_from_log_probs(lp, seq.tokens, states, BLANK_ID)
+    units = group_into_phonemes(
+        np.asarray(states), seq, evidence, BLANK_ID, SEP_ID, STRIDE_MS
+    )
+    return {
+        "id": case_id,
+        "transcript": transcript,
+        "t_len": t_len,
+        "seed": seed,
+        "noise": noise,
+        "signal": signal,
+        "smear": smear,
+        "units": [
+            {
+                "word": u.word,
+                "start_ms": u.start_ms,
+                "end_ms": u.end_ms,
+                "confidence": _round(u.confidence),
+            }
+            for u in units
+        ],
+    }
+
+
+def build_phoneme_corpus() -> dict:
+    return {
+        "format": 1,
+        "stride_ms": STRIDE_MS,
+        "vocab": PHONEME_VOCAB,
+        "cases": [run_phoneme_case(*c) for c in PHONEME_CASES],
+    }
+
+
 def build_corpus() -> dict:
     cases = [run_case(*c) for c in CASES]
     policies = {c["winning_policy"] for c in cases if c["winning_policy"]}
@@ -259,6 +322,12 @@ def main() -> None:
     n_words = sum(len(c["words"]) for c in corpus["cases"])
     print(f"wrote {OUT_PATH} ({len(corpus['cases'])} cases, {n_words} words, "
           f"policies: {sorted(covered)})")
+
+    ph = build_phoneme_corpus()
+    PHONEME_OUT_PATH.write_text(json.dumps(ph, indent=1, sort_keys=True) + "\n")
+    n_units = sum(len(c["units"]) for c in ph["cases"])
+    print(f"wrote {PHONEME_OUT_PATH} ({len(ph['cases'])} cases, "
+          f"{n_units} units)")
 
 
 if __name__ == "__main__":

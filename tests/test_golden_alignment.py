@@ -66,3 +66,23 @@ def test_golden_words_match_transcripts():
             prev_end = w["start_ms"]  # starts are monotone
             if w["confidence"] is not None:
                 assert 0.0 <= w["confidence"] <= 1.0
+
+
+def test_golden_phoneme_units_exact():
+    """Phoneme-mode golden fixtures: regenerate from seeds, require exact
+    equality — locks the verbatim tokenization + per-state unit grouping
+    (the --units phoneme path) the word goldens don't touch."""
+    from generate_golden import build_phoneme_corpus
+
+    snap = json.loads((GOLDEN_DIR / "phoneme_cases.json").read_text())
+    fresh = build_phoneme_corpus()
+    assert json.dumps(snap, sort_keys=True) == json.dumps(
+        fresh, sort_keys=True
+    )
+    for case in snap["cases"]:
+        prev_start = -1
+        for u in case["units"]:
+            assert u["end_ms"] > u["start_ms"], (case["id"], u)
+            assert u["start_ms"] >= prev_start, (case["id"], u)
+            prev_start = u["start_ms"]
+            assert 0.0 <= u["confidence"] <= 1.0
