@@ -355,3 +355,70 @@ def test_family_registry_consistency():
         d = {**spec, "pad_token_id": 0, "vocab_size": 32}
         cfg = Wav2Vec2ModelConfig.from_dict(d)
         assert cfg.frame_stride_samples() > 0, fam
+
+
+# --- property-based cross-implementation equivalence (hypothesis) ---
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_PHONE_SYMBOLS = ["a", "b", "k", "u", "ə", "ɛ̃", "ɔ̃", "tʃ", "ʃː", "xx"]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    syms=st.lists(st.sampled_from(_PHONE_SYMBOLS + ["|"]),
+                  min_size=1, max_size=12),
+    seed=st.integers(0, 10_000),
+    t_extra=st.integers(0, 40),
+)
+def test_phoneme_contracts_agree_across_implementations(syms, seed, t_extra):
+    """Fuzz the independence claim directly: the repo's phoneme tokenizer +
+    unit grouping and the torch driver's fresh implementations must agree
+    on (tokens, chars) and on the grouped units for ANY vocab subset,
+    transcript, and Viterbi path. 'xx' is deliberately missing from the
+    vocab (unknown-symbol drop rule)."""
+    vocab = {"<pad>": 0, "|": 4, "a": 5, "b": 6, "k": 7, "u": 8,
+             "ə": 9, "ɛ̃": 10, "ɔ̃": 11, "tʃ": 12, "ʃː": 13}
+    transcript = " ".join(syms)
+
+    from wav2vec2_tpu.align.grouping import frame_evidence_from_log_probs
+    from wav2vec2_tpu.align.grouping.phoneme import group_into_phonemes
+    from wav2vec2_tpu.align.tokenization import build_token_sequence_phoneme
+
+    seq = build_token_sequence_phoneme(transcript, vocab, 0, 4)
+
+    class _Driver(TorchForcedAligner):  # bypass model loading
+        def __init__(self):
+            self.vocab = dict(vocab)
+            self.blank_id = 0
+            self.sep_id = 4
+            self.units = "phoneme"
+            self.frame_stride_ms = 20.0059
+            self.torch = torch
+
+    drv = _Driver()
+    d_tokens, d_chars = drv.tokenize_phoneme(transcript)
+    assert d_tokens == list(seq.tokens)
+    assert d_chars == list(seq.chars)
+
+    if not seq.normalized_words:
+        return  # transcript had no known phones; nothing to align
+    rng = np.random.default_rng(seed)
+    t_len = (len(seq.tokens) + 1) // 2 + t_extra
+    lp = np.log(rng.dirichlet(np.ones(16), size=t_len).astype(np.float64))
+    path = viterbi_numpy(lp.astype(np.float32), np.asarray(seq.tokens))
+    states = [s for s, _ in path]
+
+    ev = frame_evidence_from_log_probs(
+        lp.astype(np.float32), seq.tokens, states, 0
+    )
+    ours = group_into_phonemes(
+        np.asarray(states), seq, ev, 0, 4, drv.frame_stride_ms
+    )
+    theirs = drv.group_phonemes(path, lp.astype(np.float32),
+                                d_tokens, d_chars)
+    assert [u.word for u in ours] == [u.word for u in theirs]
+    assert [(u.start_ms, u.end_ms) for u in ours] == [
+        (u.start_ms, u.end_ms) for u in theirs]
+    for a, b in zip(ours, theirs):
+        assert abs(a.confidence - b.confidence) < 1e-9
