@@ -174,3 +174,31 @@ def test_builder_injected_phoneme_pipeline_matches_batch(tiny_model):
         assert [u.word for u in got] == [u.word for u in ref.words]
         assert [(u.start_ms, u.end_ms) for u in got] == [
             (u.start_ms, u.end_ms) for u in ref.words]
+
+
+def test_group_into_phonemes_confidence_stats():
+    """Phoneme units carry per-frame acoustic stats (mean/min/p10 logp,
+    mean margin, frame count, quality score) — no word calibration."""
+    from wav2vec2_tpu.align.grouping import frame_evidence_from_log_probs
+    from wav2vec2_tpu.align.grouping.phoneme import group_into_phonemes
+    from wav2vec2_tpu.align.tokenization import build_token_sequence_phoneme
+
+    vocab = {"<pad>": 0, "|": 4, "a": 5, "tʃ": 6}
+    seq = build_token_sequence_phoneme("a tʃ", vocab, 0, 4)
+    rng = np.random.default_rng(0)
+    lp = np.log(rng.dirichlet(np.ones(8), size=12).astype(np.float32))
+    from wav2vec2_tpu.ops.viterbi_ref import viterbi_numpy
+
+    path = viterbi_numpy(lp, np.asarray(seq.tokens))
+    states = np.asarray([s for s, _ in path])
+    ev = frame_evidence_from_log_probs(lp, seq.tokens, states, 0)
+    units = group_into_phonemes(states, seq, ev, 0, 4, 20.0)
+    assert [u.word for u in units] == ["a", "tʃ"]
+    for u in units:
+        st = u.confidence_stats
+        assert st.coverage_frame_count >= 1
+        assert st.mean_logp is not None and st.min_logp <= st.mean_logp
+        assert st.p10_logp is not None and st.mean_margin is not None
+        assert 0.0 <= st.geo_mean_prob <= 1.0
+        assert 0.0 <= st.quality_confidence <= 1.0
+        assert st.calibrated_confidence is None  # word-fit map not applied

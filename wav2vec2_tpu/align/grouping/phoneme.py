@@ -27,6 +27,7 @@ import math
 
 import numpy as np
 
+from ...config import AlignerHyperParams
 from ...types import TokenSequence, WordTiming
 from .path_to_words import FrameEvidence
 
@@ -41,14 +42,17 @@ def group_into_phonemes(
 ) -> list[WordTiming]:
     """path_states [t_len] (state indices) → one WordTiming per emitted
     phone, `word` holding the token's symbol (TokenSequence.chars)."""
+    from ...types import WordConfidenceStats
+    from .confidence import quality_confidence_score
+
     tokens = token_sequence.tokens
     chars = token_sequence.chars
     t_len = int(np.asarray(path_states).shape[0])
     units: list[WordTiming] = []
+    hp = AlignerHyperParams()
 
     run_state = -1
     run_start = 0
-    run_emit_sum = 0.0
 
     def flush(end_frame: int) -> None:
         if run_state < 0:
@@ -62,12 +66,36 @@ def group_into_phonemes(
         # a unit occupies >= 1 frame; keep end > start even when a sub-ms
         # frame stride (toy geometries) would round both to the same ms
         end_ms = max(int(round(end_frame * frame_stride_ms)), start_ms + 1)
+        # per-FRAME acoustic stats over the run (unlike words, whose stats
+        # accumulate one sample per new-state entry: a phoneme unit IS one
+        # state, so its frames are the natural sample set). No word-level
+        # calibration: the 8-knot map was fit on words.
+        lps = evidence.emit_lp[run_start:end_frame].astype(np.float64)
+        margins = evidence.margin[run_start:end_frame].astype(np.float64)
+        mean_logp = float(lps.mean()) if n else None
+        # unit confidence stays the f64 geometric mean (unchanged
+        # behavior); the STATS field carries the f32-cast value like the
+        # word path's types
+        conf = (min(max(math.exp(mean_logp), 0.0), 1.0) if n else None)
+        geo = (min(max(math.exp(float(np.float32(mean_logp))), 0.0), 1.0)
+               if n else None)
+        stats = WordConfidenceStats(
+            mean_logp=mean_logp,
+            geo_mean_prob=geo,
+            min_logp=float(lps.min()) if n else None,
+            p10_logp=float(np.percentile(lps.astype(np.float32), 10.0))
+            if n else None,
+            mean_margin=float(margins.mean()) if n else None,
+            coverage_frame_count=n,
+        )
+        stats.quality_confidence = quality_confidence_score(stats, hp)
         units.append(
             WordTiming(
                 word=sym if sym is not None else str(tok),
                 start_ms=start_ms,
                 end_ms=end_ms,
-                confidence=math.exp(run_emit_sum / n) if n else None,
+                confidence=conf,
+                confidence_stats=stats,
             )
         )
 
@@ -77,7 +105,5 @@ def group_into_phonemes(
             flush(t)
             run_state = s
             run_start = t
-            run_emit_sum = 0.0
-        run_emit_sum += float(evidence.emit_lp[t])
     flush(t_len)
     return units
