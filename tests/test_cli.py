@@ -325,3 +325,43 @@ def test_cli_phoneme_units_mode(model_dir, tmp_path):
         # 4 phones => 4 word-tier intervals at minimum (plus gaps)
         for f in tg_files:
             f.unlink()
+
+
+def test_cli_phoneme_json_report(model_dir, tmp_path):
+    """--units phoneme + json report: per-unit rows flow through the report
+    subsystem with the per-frame acoustic stats populated."""
+    root = tmp_path / "data"
+    base = root / "LibriSpeech" / "test-clean" / "1" / "3"
+    base.mkdir(parents=True)
+    rng = np.random.default_rng(5)
+    uid = "1-3-0000"
+    x = np.clip(np.cumsum(rng.integers(-80, 80, size=16000)), -30000, 30000)
+    write_flac(base / f"{uid}.flac", x.astype(np.int64), 16000)
+    (base / "1-3.trans.txt").write_text(f"{uid} H E L O")
+
+    # baseline TextGrids first, so json mode has references to score against
+    rc = run([
+        "--model-dir", str(model_dir), "--dataset-root", str(root),
+        "--compute-dtype", "float32", "--output-format", "textgrid",
+        "--units", "phoneme",
+    ])
+    assert rc == 0
+    tg = next((root / "LibriSpeech").rglob("*.TextGrid")).read_text()
+    for sym in ("h", "e", "l", "o"):
+        assert f'"{sym}"' in tg.lower()
+
+    out = tmp_path / "phoneme_report.json"
+    rc = run([
+        "--model-dir", str(model_dir), "--dataset-root", str(root),
+        "--compute-dtype", "float32", "--output-format", "json",
+        "--units", "phoneme", "--out", str(out),
+    ])
+    assert rc == 0
+    rep = json.loads(out.read_text())
+    assert rep["aggregates"]["counts"]["with_reference"] == 1
+    agg = rep["aggregates"]["global"]
+    # self-reference, same units -> zero error across the distribution
+    assert agg["abs_err_ms_median"]["p50"] == 0.0
+    assert agg["abs_err_ms_median"]["p95"] == 0.0
+    (sent,) = rep["sentences"]
+    assert sent["word_count_pred"] == 4  # one unit per phone
