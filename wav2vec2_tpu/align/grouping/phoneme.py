@@ -28,7 +28,8 @@ import math
 import numpy as np
 
 from ...config import AlignerHyperParams
-from ...types import TokenSequence, WordTiming
+from ...types import TokenSequence, WordConfidenceStats, WordTiming
+from .confidence import quality_confidence_score
 from .path_to_words import FrameEvidence
 
 
@@ -42,9 +43,6 @@ def group_into_phonemes(
 ) -> list[WordTiming]:
     """path_states [t_len] (state indices) → one WordTiming per emitted
     phone, `word` holding the token's symbol (TokenSequence.chars)."""
-    from ...types import WordConfidenceStats
-    from .confidence import quality_confidence_score
-
     tokens = token_sequence.tokens
     chars = token_sequence.chars
     t_len = int(np.asarray(path_states).shape[0])
