@@ -618,6 +618,45 @@ def test_sew_d_padded_batch_matches_unpadded():
         )
 
 
+def test_rel_shift_matches_index_oracle():
+    """`_rel_shift` (the flatten/slice/reshape skew that replaces the SEW-D
+    c2p/p2c advanced-index gathers) must realign diagonals exactly:
+    y[..., r, c] == z[..., r, c + (T−1) − r]."""
+    import jax.numpy as jnp
+
+    from wav2vec2_tpu.models.encoder import _rel_shift
+
+    rng = np.random.default_rng(7)
+    for t in (1, 2, 3, 5, 16):
+        z = rng.normal(size=(2, 3, t, 2 * t - 1)).astype(np.float32)
+        got = np.asarray(_rel_shift(jnp.asarray(z)))
+        ref = np.empty((2, 3, t, t), np.float32)
+        for r in range(t):
+            for c in range(t):
+                ref[..., r, c] = z[..., r, c + (t - 1) - r]
+        np.testing.assert_array_equal(got, ref, err_msg=f"T={t}")
+
+
+def test_sew_d_diagonal_selection_matches_bucket_grid():
+    """The per-diagonal bucket indices driving the factorized c2p/p2c terms
+    must agree with the [T, T] bucket grid torch gathers with: for every
+    (q, k), sel[(T−1) − (q−k) reversed through the shift] == grid[q, k]."""
+    from wav2vec2_tpu.models.encoder import _deberta_log_bucket_positions
+
+    t, span, max_pos = 13, 4, 64
+    rel = np.arange(t)[:, None] - np.arange(t)[None, :]
+    grid = _deberta_log_bucket_positions(rel, span, max_pos)
+    diag = _deberta_log_bucket_positions(
+        np.arange(t - 1, -t, -1), span, max_pos
+    )
+    for q in range(t):
+        for k in range(t):
+            # wide column e holds offset q−k = (t−1) − e; after _rel_shift,
+            # (q, k) reads column e = k + (t−1) − q of row q.
+            e = k + (t - 1) - q
+            assert diag[e] == grid[q, k], (q, k)
+
+
 def _conformer_pair(position_embeddings_type="relative", hidden_act="swish"):
     d = dict(
         hidden_size=32, num_hidden_layers=2, num_attention_heads=2,

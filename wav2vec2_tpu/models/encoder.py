@@ -270,14 +270,15 @@ def _encoder_layer(
 
 
 def _deberta_log_bucket_positions(
-    t: int, bucket_size: int, max_position: int
+    rel, bucket_size: int, max_position: int
 ):
-    """DeBERTa-v2 signed log-bucketed relative positions [T, T] (transformers
-    build_relative_position/make_log_bucket_position parity). Shape-only
-    data — computed host-side in numpy at trace time."""
+    """DeBERTa-v2 signed log-bucketed relative positions (transformers
+    build_relative_position/make_log_bucket_position parity) for an arbitrary
+    numpy array of q−k offsets. Shape-only data — computed host-side in numpy
+    at trace time."""
     import numpy as np
 
-    rel = np.arange(t)[:, None] - np.arange(t)[None, :]
+    rel = np.asarray(rel, dtype=np.int64)
     mid = bucket_size // 2
     abs_pos = np.where(
         (rel < mid) & (rel > -mid), float(mid - 1), np.abs(rel).astype(np.float64)
@@ -295,6 +296,22 @@ def _deberta_log_bucket_positions(
     return bucket.astype(np.int64)
 
 
+def _rel_shift(z: jnp.ndarray) -> jnp.ndarray:
+    """Diagonal realignment y[..., r, c] = z[..., r, c + (T−1) − r] for
+    z of shape [..., T, 2T−1] — the Transformer-XL/Music-Transformer skew,
+    expressed as flatten → contiguous slice → free reshape → slice, so XLA
+    lowers it to one bandwidth-bound copy (no gather, no [T, T] index
+    tensor). This is what turns a relative-position term laid out per
+    diagonal into the per-(q, k) score grid."""
+    *lead, t, w = z.shape
+    assert w == 2 * t - 1, (t, w)
+    if t == 1:
+        return z
+    flat = z.reshape(*lead, t * w)
+    flat = jax.lax.slice_in_dim(flat, t - 1, t - 1 + t * (2 * t - 2), axis=-1)
+    return flat.reshape(*lead, t, 2 * t - 2)[..., :t]
+
+
 def sew_d_layers_forward(
     params: dict,
     h: jnp.ndarray,
@@ -308,9 +325,15 @@ def sew_d_layers_forward(
     share_att_key=True (the layer's own query/key projections embed the
     positions). Scores are scaled by sqrt(head_dim · (1 + |pos_att_type|)).
 
-    TPU notes: the [T, T] bucket table is static (numpy at trace time); the
-    c2p/p2c gathers over the [B, H, T, 2·buckets] bias tensors use advanced
-    indexing (one XLA gather each); layers are stacked and scanned like the
+    TPU notes: the bucket index bucket(q−k) depends only on the diagonal
+    q−k, so instead of torch's advanced-index gather over a
+    [B, H, T, 2·buckets] bias tensor (an XLA gather with a [T, T] index
+    grid), the relative embeddings are gathered host-side onto the 2T−1
+    diagonals once for all layers (a [2T−1, H] table), each layer contracts
+    q/k against that table on the MXU, and `_rel_shift` realigns the result
+    to the (q, k) grid with one contiguous copy. Bit-identical to the
+    gather formulation — the same dot products, with embedding rows
+    pre-duplicated per diagonal. Layers are stacked and scanned like the
     wav2vec2 encoder.
     """
     import numpy as np
@@ -329,12 +352,13 @@ def sew_d_layers_forward(
     scale_factor = 1 + len(pos_att)
     scale = jnp.float32((hd * scale_factor) ** 0.5)
 
-    rel_pos = _deberta_log_bucket_positions(
-        t, span, cfg.max_position_embeddings
+    # Diagonal e of the wide tensors carries offset q−k = (T−1) − e (the
+    # reversal is baked in so `_rel_shift`'s positive-slope skew applies).
+    diag_bucket = _deberta_log_bucket_positions(
+        np.arange(t - 1, -t, -1), span, cfg.max_position_embeddings
     )
-    c2p_idx = jnp.asarray(np.clip(rel_pos + span, 0, 2 * span - 1))
-    p2c_idx = jnp.asarray(np.clip(-rel_pos + span, 0, 2 * span - 1))
-    row = jnp.arange(t)[:, None]
+    c2p_sel = np.clip(diag_bucket + span, 0, 2 * span - 1)
+    p2c_sel = np.clip(-diag_bucket + span, 0, 2 * span - 1)
 
     rel_emb = params["rel_embeddings"].astype(jnp.float32)  # [2S, H]
     if "rel_embeddings_layer_norm" in params:
@@ -342,6 +366,8 @@ def sew_d_layers_forward(
         rel_emb = layer_norm(rel_emb, ln["weight"], ln["bias"],
                              cfg.layer_norm_eps)
     rel_emb = rel_emb.astype(h.dtype)
+    rel_emb_c2p = rel_emb[jnp.asarray(c2p_sel)]  # [2T−1, H]
+    rel_emb_p2c = rel_emb[jnp.asarray(p2c_sel)]
 
     def split_heads(y):  # [..., T, H] -> [..., H_heads, T, hd]
         return y.reshape(*y.shape[:-1], nh, hd).swapaxes(-3, -2)
@@ -363,21 +389,20 @@ def sew_d_layers_forward(
             preferred_element_type=jnp.float32,
         )
         # share_att_key: the positions go through this layer's own q/k
-        # projections
-        pos_k = split_heads(linear(rel_emb, a["key_proj"]["kernel"],
-                                   a["key_proj"]["bias"]))  # [H, 2S, hd]
-        pos_q = split_heads(linear(rel_emb, a["query_proj"]["kernel"],
-                                   a["query_proj"]["bias"]))
+        # projections (applied to the per-diagonal embedding table)
         if "c2p" in pos_att:
-            c2p = jnp.einsum("bhqd,hsd->bhqs", qh, pos_k,
+            pos_k = split_heads(linear(rel_emb_c2p, a["key_proj"]["kernel"],
+                                       a["key_proj"]["bias"]))  # [H, 2T−1, hd]
+            c2p = jnp.einsum("bhqd,hed->bhqe", qh, pos_k,
                              preferred_element_type=jnp.float32)
-            c2p = c2p[:, :, row, c2p_idx]  # [B, H, T(q), T(k)]
-            scores = scores + c2p / scale
+            scores = scores + _rel_shift(c2p) / scale  # [B, H, T(q), T(k)]
         if "p2c" in pos_att:
-            p2c = jnp.einsum("bhkd,hsd->bhks", kh, pos_q,
+            pos_q = split_heads(linear(rel_emb_p2c, a["query_proj"]["kernel"],
+                                       a["query_proj"]["bias"]))
+            p2c = jnp.einsum("bhkd,hed->bhke", kh, pos_q,
                              preferred_element_type=jnp.float32)
-            p2c = p2c[:, :, row, p2c_idx]  # [B, H, T(k), T(q)]
-            scores = scores + p2c.swapaxes(-1, -2) / scale
+            # [B, H, T(k), T(q)] → transpose onto the (q, k) grid
+            scores = scores + _rel_shift(p2c).swapaxes(-1, -2) / scale
         if mask_bias is not None:
             scores = scores + mask_bias
         attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
