@@ -596,16 +596,20 @@ def _conformer_attention(
 
     if style == "relative_key":
         # w2v-BERT: an embedding over clamped relative distances
-        # (Wav2Vec2BertSelfAttention, distance ∈ [-left_max, right_max])
+        # (Wav2Vec2BertSelfAttention, distance ∈ [-left_max, right_max]).
+        # The distance depends only on the diagonal r−l, so instead of
+        # torch's [T, T, hd] materialized embedding and l-batched einsum,
+        # gather the embedding onto the 2T−1 diagonals (diagonal e carries
+        # r−l = e−(T−1) after the reversal `_rel_shift` expects), contract
+        # q against that table in one MXU matmul, and skew back to the
+        # (l, r) grid — bit-identical (same dot products per diagonal).
         left = cfg.left_max_position_embeddings
         right = cfg.right_max_position_embeddings
-        dist = jnp.clip(
-            jnp.arange(t)[None, :] - jnp.arange(t)[:, None], -left, right
-        )
-        posemb = p["distance_embedding"][dist + left].astype(x.dtype)
-        rel = jnp.einsum("bhld,lrd->bhlr", q, posemb,
-                         preferred_element_type=acc)
-        scores = scores + rel / jnp.asarray(hd**0.5, acc)
+        diag = jnp.clip(jnp.arange(-(t - 1), t), -left, right)
+        e_diag = p["distance_embedding"][diag + left].astype(x.dtype)
+        rel_wide = jnp.einsum("bhld,ed->bhle", q, e_diag,
+                              preferred_element_type=acc)
+        scores = scores + _rel_shift(rel_wide) / jnp.asarray(hd**0.5, acc)
 
     if mask_bias is not None:
         scores = scores + mask_bias.astype(scores.dtype)
