@@ -657,6 +657,66 @@ def test_sew_d_diagonal_selection_matches_bucket_grid():
             assert diag[e] == grid[q, k], (q, k)
 
 
+def test_factorized_bias_terms_match_gather_oracle_across_t():
+    """The factorized SEW-D c2p/p2c and w2v-BERT relative_key position terms
+    must equal the direct advanced-index-gather formulation for every T,
+    including T=1/2, bucket-identity T, and clip-saturated T."""
+    import jax.numpy as jnp
+
+    from wav2vec2_tpu.models.encoder import (
+        _deberta_log_bucket_positions,
+        _rel_shift,
+    )
+
+    rng = np.random.default_rng(11)
+    span, max_pos = 4, 32
+    left, right = 3, 2
+    hd = 8
+    for t in (1, 2, 3, 4, 9, 17):
+        q = rng.normal(size=(2, 2, t, hd)).astype(np.float32)
+        k = rng.normal(size=(2, 2, t, hd)).astype(np.float32)
+        pos_k = rng.normal(size=(2, 2 * span, hd)).astype(np.float32)
+        dist_emb = rng.normal(size=(left + right + 1, hd)).astype(np.float32)
+
+        rel = np.arange(t)[:, None] - np.arange(t)[None, :]
+        grid = _deberta_log_bucket_positions(rel, span, max_pos)
+        c2p_idx = np.clip(grid + span, 0, 2 * span - 1)
+        p2c_idx = np.clip(-grid + span, 0, 2 * span - 1)
+        row = np.arange(t)[:, None]
+
+        # oracle: torch-style gathers
+        c2p_pre = np.einsum("bhqd,hsd->bhqs", q, pos_k)
+        c2p_ref = c2p_pre[:, :, row, c2p_idx]
+        p2c_pre = np.einsum("bhkd,hsd->bhks", k, pos_k)
+        p2c_ref = p2c_pre[:, :, row, p2c_idx].swapaxes(-1, -2)
+        relkey_ref = np.einsum(
+            "bhld,lrd->bhlr", q,
+            dist_emb[np.clip(rel * -1, -left, right) + left],
+        )
+
+        # factorized: per-diagonal tables + _rel_shift
+        diag_bucket = _deberta_log_bucket_positions(
+            np.arange(t - 1, -t, -1), span, max_pos
+        )
+        pos_k_c2p = pos_k[:, np.clip(diag_bucket + span, 0, 2 * span - 1)]
+        pos_k_p2c = pos_k[:, np.clip(-diag_bucket + span, 0, 2 * span - 1)]
+        c2p_got = np.asarray(_rel_shift(jnp.einsum(
+            "bhqd,hed->bhqe", jnp.asarray(q), jnp.asarray(pos_k_c2p))))
+        p2c_got = np.asarray(_rel_shift(jnp.einsum(
+            "bhkd,hed->bhke", jnp.asarray(k),
+            jnp.asarray(pos_k_p2c)))).swapaxes(-1, -2)
+        e_diag = dist_emb[np.clip(np.arange(-(t - 1), t), -left, right) + left]
+        relkey_got = np.asarray(_rel_shift(jnp.einsum(
+            "bhld,ed->bhle", jnp.asarray(q), jnp.asarray(e_diag))))
+
+        np.testing.assert_allclose(c2p_got, c2p_ref, rtol=1e-5, atol=1e-5,
+                                   err_msg=f"c2p T={t}")
+        np.testing.assert_allclose(p2c_got, p2c_ref, rtol=1e-5, atol=1e-5,
+                                   err_msg=f"p2c T={t}")
+        np.testing.assert_allclose(relkey_got, relkey_ref, rtol=1e-5,
+                                   atol=1e-5, err_msg=f"relative_key T={t}")
+
+
 def _conformer_pair(position_embeddings_type="relative", hidden_act="swish"):
     d = dict(
         hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
