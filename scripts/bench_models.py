@@ -103,6 +103,9 @@ def main(argv=None) -> int:
                    help="smaller batch for the 1B-param model")
     p.add_argument("--repeats", type=int, default=8)
     p.add_argument("--audio-seconds", type=float, default=10.0)
+    p.add_argument("--emit-json", metavar="PATH",
+                   help="also append each result line to this JSONL artifact "
+                        "(e.g. reports/family_throughput.jsonl)")
     args = p.parse_args(argv)
 
     from wav2vec2_tpu.utils.device import enable_compilation_cache
@@ -110,8 +113,11 @@ def main(argv=None) -> int:
     enable_compilation_cache()
     for name in [m.strip() for m in args.models.split(",") if m.strip()]:
         b = args.mms_batch if name.startswith("mms") else args.batch
-        print(json.dumps(bench_one(name, b, args.repeats,
-                                   args.audio_seconds)), flush=True)
+        r = bench_one(name, b, args.repeats, args.audio_seconds)
+        print(json.dumps(r), flush=True)
+        if args.emit_json:
+            with open(args.emit_json, "a", encoding="utf-8") as f:
+                f.write(json.dumps(r) + "\n")
     return 0
 
 
