@@ -111,6 +111,12 @@ def main(argv=None) -> int:
     from wav2vec2_tpu.utils.device import enable_compilation_cache
 
     enable_compilation_cache()
+    if args.emit_json:
+        # fail fast (and create the parent dir) BEFORE spending minutes of
+        # TPU compile/bench time on the first model
+        Path(args.emit_json).parent.mkdir(parents=True, exist_ok=True)
+        with open(args.emit_json, "a", encoding="utf-8"):
+            pass
     for name in [m.strip() for m in args.models.split(",") if m.strip()]:
         b = args.mms_batch if name.startswith("mms") else args.batch
         r = bench_one(name, b, args.repeats, args.audio_seconds)

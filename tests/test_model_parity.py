@@ -717,6 +717,112 @@ def test_factorized_bias_terms_match_gather_oracle_across_t():
                                    atol=1e-5, err_msg=f"relative_key T={t}")
 
 
+def test_sew_d_layers_forward_edge_t_vs_numpy_oracle():
+    """Production `sew_d_layers_forward` at degenerate/clip-saturated T
+    (1, 2, 3, 9 with position_buckets=2) against a numpy oracle that uses
+    torch's [T, T]-grid advanced-index gathers — guards the factorized
+    path's edge geometry, which the single-T HF parity test can't."""
+    import math
+    import types
+
+    import jax
+    import jax.numpy as jnp
+
+    from wav2vec2_tpu.models.encoder import (
+        _deberta_log_bucket_positions,
+        sew_d_layers_forward,
+    )
+
+    rng = np.random.default_rng(3)
+    hdim, nh, inter, span, max_pos = 8, 2, 16, 2, 16
+    hd = hdim // nh
+    eps = 1e-7
+    cfg = types.SimpleNamespace(
+        hidden_size=hdim, num_attention_heads=nh, position_buckets=span,
+        max_position_embeddings=max_pos, layer_norm_eps=eps,
+        pos_att_type=("p2c", "c2p"), share_att_key=True,
+    )
+
+    def dense(shape):
+        return rng.normal(size=shape, scale=0.4).astype(np.float32)
+
+    def lin(i, o):
+        return {"kernel": dense((i, o)), "bias": dense((o,))}
+
+    def norm(n):
+        return {"weight": dense((n,)) + 1.0, "bias": dense((n,))}
+
+    layer = {
+        "attention": {
+            "query_proj": lin(hdim, hdim), "key_proj": lin(hdim, hdim),
+            "value_proj": lin(hdim, hdim), "output_dense": lin(hdim, hdim),
+            "output_norm": norm(hdim),
+        },
+        "intermediate_dense": lin(hdim, inter),
+        "output_dense": lin(inter, hdim),
+        "output_norm": norm(hdim),
+    }
+    params = {
+        "rel_embeddings": dense((2 * span, hdim)),
+        "layers": jax.tree.map(lambda x: x[None], layer),
+    }
+
+    def np_layer_norm(x, w, b):
+        mu = x.mean(-1, keepdims=True)
+        c = x - mu
+        v = (c * c).mean(-1, keepdims=True)
+        return c / np.sqrt(v + eps) * w + b
+
+    erf = np.vectorize(math.erf)
+
+    def np_split(y):  # [..., S, hdim] -> [..., nh, S, hd]
+        return y.reshape(*y.shape[:-1], nh, hd).swapaxes(-3, -2)
+
+    def oracle(x):
+        t = x.shape[1]
+        a = layer["attention"]
+        scale = (hd * 3) ** 0.5
+        qh = np_split(x @ a["query_proj"]["kernel"] + a["query_proj"]["bias"])
+        kh = np_split(x @ a["key_proj"]["kernel"] + a["key_proj"]["bias"])
+        vh = np_split(x @ a["value_proj"]["kernel"] + a["value_proj"]["bias"])
+        scores = np.einsum("bhqd,bhkd->bhqk", qh, kh / np.float32(scale))
+        rel = params["rel_embeddings"]
+        grid = _deberta_log_bucket_positions(
+            np.arange(t)[:, None] - np.arange(t)[None, :], span, max_pos
+        )
+        c2p_idx = np.clip(grid + span, 0, 2 * span - 1)
+        p2c_idx = np.clip(-grid + span, 0, 2 * span - 1)
+        row = np.arange(t)[:, None]
+        pos_k = np_split(rel @ a["key_proj"]["kernel"] + a["key_proj"]["bias"])
+        pos_q = np_split(rel @ a["query_proj"]["kernel"]
+                         + a["query_proj"]["bias"])
+        c2p = np.einsum("bhqd,hsd->bhqs", qh, pos_k)[:, :, row, c2p_idx]
+        scores = scores + c2p / scale
+        p2c = np.einsum("bhkd,hsd->bhks", kh, pos_q)[:, :, row, p2c_idx]
+        scores = scores + p2c.swapaxes(-1, -2) / scale
+        attn = np.exp(scores - scores.max(-1, keepdims=True))
+        attn = attn / attn.sum(-1, keepdims=True)
+        out = np.einsum("bhqk,bhkd->bhqd", attn, vh)
+        out = out.swapaxes(-3, -2).reshape(x.shape)
+        out = out @ a["output_dense"]["kernel"] + a["output_dense"]["bias"]
+        x = np_layer_norm(out + x, a["output_norm"]["weight"],
+                          a["output_norm"]["bias"])
+        up = x @ layer["intermediate_dense"]["kernel"] \
+            + layer["intermediate_dense"]["bias"]
+        up = 0.5 * up * (1.0 + erf(up / np.sqrt(2.0)))
+        down = up @ layer["output_dense"]["kernel"] \
+            + layer["output_dense"]["bias"]
+        return np_layer_norm(down + x, layer["output_norm"]["weight"],
+                             layer["output_norm"]["bias"])
+
+    for t in (1, 2, 3, 9):
+        x = rng.normal(size=(2, t, hdim)).astype(np.float32)
+        got = np.asarray(sew_d_layers_forward(params, jnp.asarray(x), cfg,
+                                              None))
+        np.testing.assert_allclose(got, oracle(x), rtol=2e-5, atol=2e-5,
+                                   err_msg=f"T={t}")
+
+
 def _conformer_pair(position_embeddings_type="relative", hidden_act="swish"):
     d = dict(
         hidden_size=32, num_hidden_layers=2, num_attention_heads=2,

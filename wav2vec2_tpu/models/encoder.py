@@ -328,13 +328,13 @@ def sew_d_layers_forward(
     TPU notes: the bucket index bucket(q−k) depends only on the diagonal
     q−k, so instead of torch's advanced-index gather over a
     [B, H, T, 2·buckets] bias tensor (an XLA gather with a [T, T] index
-    grid), the relative embeddings are gathered host-side onto the 2T−1
-    diagonals once for all layers (a [2T−1, H] table), each layer contracts
-    q/k against that table on the MXU, and `_rel_shift` realigns the result
-    to the (q, k) grid with one contiguous copy. Bit-identical to the
-    gather formulation — the same dot products, with embedding rows
-    pre-duplicated per diagonal. Layers are stacked and scanned like the
-    wav2vec2 encoder.
+    grid), each layer projects the [2S, H] embedding table (bucket-sized
+    matmul, T-independent), a static [2T−1]-row selector lays the projected
+    rows onto the diagonals, q/k contract against that table on the MXU,
+    and `_rel_shift` realigns the result to the (q, k) grid with one
+    contiguous copy. Bit-identical to the gather formulation — the same
+    dot products, with projected rows duplicated per diagonal. Layers are
+    stacked and scanned like the wav2vec2 encoder.
     """
     import numpy as np
 
@@ -366,8 +366,11 @@ def sew_d_layers_forward(
         rel_emb = layer_norm(rel_emb, ln["weight"], ln["bias"],
                              cfg.layer_norm_eps)
     rel_emb = rel_emb.astype(h.dtype)
-    rel_emb_c2p = rel_emb[jnp.asarray(c2p_sel)]  # [2T−1, H]
-    rel_emb_p2c = rel_emb[jnp.asarray(p2c_sel)]
+    # static row-selectors applied AFTER each layer's projection, so the
+    # per-layer projection matmul stays [2S, H] (bucket-count-sized, not
+    # T-sized); the [2T−1]-row gather of the projected table is trivial
+    c2p_sel_j = jnp.asarray(c2p_sel) if "c2p" in pos_att else None
+    p2c_sel_j = jnp.asarray(p2c_sel) if "p2c" in pos_att else None
 
     def split_heads(y):  # [..., T, H] -> [..., H_heads, T, hd]
         return y.reshape(*y.shape[:-1], nh, hd).swapaxes(-3, -2)
@@ -390,16 +393,16 @@ def sew_d_layers_forward(
         )
         # share_att_key: the positions go through this layer's own q/k
         # projections (applied to the per-diagonal embedding table)
-        if "c2p" in pos_att:
-            pos_k = split_heads(linear(rel_emb_c2p, a["key_proj"]["kernel"],
-                                       a["key_proj"]["bias"]))  # [H, 2T−1, hd]
-            c2p = jnp.einsum("bhqd,hed->bhqe", qh, pos_k,
+        if c2p_sel_j is not None:
+            pos_k = split_heads(linear(rel_emb, a["key_proj"]["kernel"],
+                                       a["key_proj"]["bias"]))  # [H, 2S, hd]
+            c2p = jnp.einsum("bhqd,hed->bhqe", qh, pos_k[:, c2p_sel_j, :],
                              preferred_element_type=jnp.float32)
             scores = scores + _rel_shift(c2p) / scale  # [B, H, T(q), T(k)]
-        if "p2c" in pos_att:
-            pos_q = split_heads(linear(rel_emb_p2c, a["query_proj"]["kernel"],
+        if p2c_sel_j is not None:
+            pos_q = split_heads(linear(rel_emb, a["query_proj"]["kernel"],
                                        a["query_proj"]["bias"]))
-            p2c = jnp.einsum("bhkd,hed->bhke", kh, pos_q,
+            p2c = jnp.einsum("bhkd,hed->bhke", kh, pos_q[:, p2c_sel_j, :],
                              preferred_element_type=jnp.float32)
             # [B, H, T(k), T(q)] → transpose onto the (q, k) grid
             scores = scores + _rel_shift(p2c).swapaxes(-1, -2) / scale
