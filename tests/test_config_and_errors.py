@@ -198,6 +198,51 @@ def test_ensure_backend_reraises_after_first_success(monkeypatch):
         dev.ensure_backend()
 
 
+def test_device_init_watchdog_warns_then_cancel_silences(caplog):
+    """A hung backend init (wedged TPU worker — hangs, never errors) must
+    produce an operator-visible warning with a remediation hint; a
+    completed init cancels the watchdog before it fires."""
+    import logging
+    import time
+
+    import wav2vec2_tpu.utils.device as dev
+
+    with caplog.at_level(logging.WARNING, logger="wav2vec2_tpu.utils.device"):
+        cancel = dev._init_watchdog(warn_after=0.05)
+        time.sleep(0.3)
+        cancel()
+    assert any("unresponsive" in r.message for r in caplog.records)
+
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="wav2vec2_tpu.utils.device"):
+        cancel = dev._init_watchdog(warn_after=0.2)
+        cancel()
+        time.sleep(0.4)
+    assert not caplog.records
+
+
+def test_device_init_watchdog_hard_abort_in_subprocess():
+    """WAV2VEC2_DEVICE_INIT_TIMEOUT_S aborts an unattended run whose
+    backend init never returns (exit code 3, like bench.py's watchdog)."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import time\n"
+        "from wav2vec2_tpu.utils.device import _init_watchdog\n"
+        "_init_watchdog(warn_after=0.05)\n"
+        "time.sleep(30)\n"
+    )
+    env = dict(os.environ, WAV2VEC2_DEVICE_INIT_TIMEOUT_S="0.3")
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=120,
+                       cwd=os.path.dirname(os.path.dirname(
+                           os.path.abspath(__file__))))
+    assert r.returncode == 3, (r.returncode, r.stderr)
+    assert "watchdog" in r.stderr
+
+
 def test_package_lazy_attrs():
     """__init__ loads heavy subsystems lazily (keeps bare import light)."""
     import wav2vec2_tpu
