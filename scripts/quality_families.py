@@ -98,9 +98,17 @@ def main(argv=None) -> int:
             continue
         results[fam] = json.loads(summary_path.read_text())
 
-    (out_dir / "quality_families.json").write_text(
-        json.dumps(results, indent=2) + "\n"
-    )
+    # merge into the existing aggregate so a --only subset run refreshes
+    # those families without dropping the rest
+    agg_path = out_dir / "quality_families.json"
+    merged: dict[str, dict] = {}
+    if agg_path.exists():
+        try:
+            merged = json.loads(agg_path.read_text())
+        except ValueError:
+            merged = {}
+    merged.update(results)
+    agg_path.write_text(json.dumps(merged, indent=2) + "\n")
 
     print("\n| family | cases | word pairs | median Δstart/end/mid (ms) | "
           "p99 |Δmid| | max |Δmid| |")
