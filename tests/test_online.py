@@ -93,9 +93,11 @@ def test_online_matches_longform_and_is_stable(tiny_model):
         last = w.start_ms
 
 
-def test_online_piece_size_independent(tiny_model):
+@pytest.mark.parametrize("units", ["word", "phoneme"])
+def test_online_piece_size_independent(tiny_model, units):
     """The result depends only on the audio, not on how it is sliced into
-    push() calls (window layout is a function of accumulated samples)."""
+    push() calls (window layout is a function of accumulated samples) —
+    for word AND phoneme finalization."""
     from wav2vec2_tpu.align.online import OnlineAligner
     from wav2vec2_tpu.pipeline.runtime import normalize_audio
 
@@ -108,7 +110,8 @@ def test_online_piece_size_independent(tiny_model):
     for piece in (1000, 7777, len(audio)):
         online = OnlineAligner(cfg, params, vocab, transcript,
                                chunk_sec=1.0, overlap_sec=0.25,
-                               finalize_margin_sec=0.5, normalize="none")
+                               finalize_margin_sec=0.5, normalize="none",
+                               units=units)
         pos = 0
         while pos < len(audio):
             online.push(audio[pos: pos + piece])
