@@ -17,6 +17,23 @@ def test_doctor_healthy_without_model(capsys):
     assert out.strip().endswith("healthy")
 
 
+def test_doctor_reports_hung_device_init(capsys, monkeypatch):
+    """A wedged TPU worker hangs jax.devices(); doctor must stay responsive
+    and FAIL with a remediation hint instead of blocking forever."""
+    import time
+
+    import jax
+
+    from wav2vec2_tpu.doctor import check_jax
+
+    monkeypatch.setattr(jax, "devices", lambda *a: time.sleep(30))
+    t0 = time.monotonic()
+    ok = check_jax(timeout_s=0.3)
+    assert time.monotonic() - t0 < 5
+    out = capsys.readouterr().out
+    assert not ok and "wedged" in out and "--device cpu" in out
+
+
 def test_doctor_model_dir_checks(tmp_path, capsys):
     from wav2vec2_tpu.doctor import main
 

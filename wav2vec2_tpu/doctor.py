@@ -21,21 +21,44 @@ def _line(status: str, name: str, detail: str) -> None:
     print(f"[{status:>4s}] {name}: {detail}")
 
 
-def check_jax() -> bool:
-    try:
-        import jax
+def check_jax(timeout_s: float = 90.0) -> bool:
+    # a WEDGED remote TPU worker makes jax.devices() hang rather than
+    # error — probe in a daemon thread so doctor itself stays responsive
+    # and can report the hang (the situation doctor exists to diagnose)
+    import threading
 
-        devs = jax.devices()
-        plat = devs[0].platform
-        status = OK if plat != "cpu" else WARN
-        _line(status, "accelerator",
-              f"{len(devs)} × {plat} ({devs[0].device_kind})"
-              + ("" if plat != "cpu" else " — CPU only: alignment works but "
-                 "throughput targets assume a TPU"))
-        return True
-    except Exception as e:
-        _line(FAIL, "accelerator", f"jax backend failed: {e}")
+    result: dict = {}
+
+    def probe():
+        try:
+            import jax
+
+            devs = jax.devices()
+            result["devs"] = (len(devs), devs[0].platform,
+                              devs[0].device_kind)
+        except Exception as e:  # report any init failure verbatim
+            result["err"] = e
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if th.is_alive():
+        _line(FAIL, "accelerator",
+              f"device initialization still blocked after {timeout_s:.0f}s "
+              "— the remote TPU worker is likely wedged (it hangs instead "
+              "of erroring). Run with --device cpu, or retry once the "
+              "worker is recycled")
         return False
+    if "err" in result:
+        _line(FAIL, "accelerator", f"jax backend failed: {result['err']}")
+        return False
+    n, plat, kind = result["devs"]
+    status = OK if plat != "cpu" else WARN
+    _line(status, "accelerator",
+          f"{n} × {plat} ({kind})"
+          + ("" if plat != "cpu" else " — CPU only: alignment works but "
+             "throughput targets assume a TPU"))
+    return True
 
 
 def check_compile_cache() -> bool:
