@@ -169,19 +169,25 @@ def _watchdog(seconds: float = 1500.0):
 
 
 def _main_with_retry():
-    # the TPU tunnel occasionally drops a worker; one retry covers it so the
-    # benchmark record is never silently missing
+    # the TPU tunnel occasionally drops a worker, and a recovering worker
+    # pool reports UNAVAILABLE for a while before coming back — keep
+    # retrying until the watchdog deadline so the benchmark record is never
+    # silently missing when the chip returns mid-window
     _watchdog()
-    try:
-        main()
-    except Exception as e:
-        import sys
-        import time
+    import sys
+    import time
 
-        print(f"bench attempt 1 failed ({type(e).__name__}: {e}); retrying",
-              file=sys.stderr)
-        time.sleep(30)
-        main()
+    attempt = 1
+    while True:
+        try:
+            main()
+            return
+        except Exception as e:
+            print(f"bench attempt {attempt} failed "
+                  f"({type(e).__name__}: {e}); retrying in 60s",
+                  file=sys.stderr)
+            attempt += 1
+            time.sleep(60)
 
 
 if __name__ == "__main__":
