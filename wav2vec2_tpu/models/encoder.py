@@ -376,6 +376,15 @@ def sew_d_layers_forward(
         return y.reshape(*y.shape[:-1], nh, hd).swapaxes(-3, -2)
 
     eps = cfg.layer_norm_eps
+    # Same score-dtype policy as _self_attention/_conformer_attention: f32
+    # compute stays exactly f32 (the parity/quality path); bf16 compute keeps
+    # the three [B, H, T(q), ·] wide tensors (content scores + the 2T−1-wide
+    # c2p/p2c diagonal terms and their `_rel_shift` copies) in bf16 — they
+    # dominate the stack's HBM traffic and f32 doubles it.
+    acc = jnp.float32 if h.dtype == jnp.float32 else h.dtype
+    # torch divides the position terms by scale (kept as a division, not a
+    # reciprocal multiply, for f32 bit-identity with the HF implementation)
+    scale_acc = scale.astype(acc)
 
     def one_layer(x, lp):
         a = lp["attention"]
@@ -389,7 +398,7 @@ def sew_d_layers_forward(
         # (torch op order, kept for f32 bit-closeness)
         scores = jnp.einsum(
             "bhqd,bhkd->bhqk", qh, kh / scale.astype(x.dtype),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc,
         )
         # share_att_key: the positions go through this layer's own q/k
         # projections (applied to the per-diagonal embedding table)
@@ -397,18 +406,18 @@ def sew_d_layers_forward(
             pos_k = split_heads(linear(rel_emb, a["key_proj"]["kernel"],
                                        a["key_proj"]["bias"]))  # [H, 2S, hd]
             c2p = jnp.einsum("bhqd,hed->bhqe", qh, pos_k[:, c2p_sel_j, :],
-                             preferred_element_type=jnp.float32)
-            scores = scores + _rel_shift(c2p) / scale  # [B, H, T(q), T(k)]
+                             preferred_element_type=acc)
+            scores = scores + _rel_shift(c2p) / scale_acc  # [B,H,T(q),T(k)]
         if p2c_sel_j is not None:
             pos_q = split_heads(linear(rel_emb, a["query_proj"]["kernel"],
                                        a["query_proj"]["bias"]))
             p2c = jnp.einsum("bhkd,hed->bhke", kh, pos_q[:, p2c_sel_j, :],
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=acc)
             # [B, H, T(k), T(q)] → transpose onto the (q, k) grid
-            scores = scores + _rel_shift(p2c).swapaxes(-1, -2) / scale
+            scores = scores + _rel_shift(p2c).swapaxes(-1, -2) / scale_acc
         if mask_bias is not None:
-            scores = scores + mask_bias
-        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+            scores = scores + mask_bias.astype(scores.dtype)
+        attn = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(x.dtype), vh,
                          preferred_element_type=x.dtype)
         out = out.swapaxes(-3, -2).reshape(x.shape)
@@ -600,19 +609,23 @@ def _conformer_attention(
     if style == "relative_key":
         # w2v-BERT: an embedding over clamped relative distances
         # (Wav2Vec2BertSelfAttention, distance ∈ [-left_max, right_max]).
-        # The distance depends only on the diagonal r−l, so instead of
-        # torch's [T, T, hd] materialized embedding and l-batched einsum,
-        # gather the embedding onto the 2T−1 diagonals (diagonal e carries
-        # r−l = e−(T−1) after the reversal `_rel_shift` expects), contract
-        # q against that table in one MXU matmul, and skew back to the
-        # (l, r) grid — bit-identical (same dot products per diagonal).
+        # This keeps HF's gather formulation ON PURPOSE: the [T, T, hd]
+        # clamped-distance embedding is BATCH-INDEPENDENT (~32 MB at T=499)
+        # and the position term lands directly on the [B, H, T, T] score
+        # grid. The per-diagonal `_rel_shift` rewrite that wins for the
+        # Transformer-XL/DeBERTa styles LOSES here — it introduces a
+        # [B, H, T, 2T−1] intermediate plus its shift copy (~1 GB/layer
+        # at B=32) where this form has none, and measured 554 ms vs
+        # 221 ms per batch end-to-end (BENCHMARKS.md, round 3).
         left = cfg.left_max_position_embeddings
         right = cfg.right_max_position_embeddings
-        diag = jnp.clip(jnp.arange(-(t - 1), t), -left, right)
-        e_diag = p["distance_embedding"][diag + left].astype(x.dtype)
-        rel_wide = jnp.einsum("bhld,ed->bhle", q, e_diag,
-                              preferred_element_type=acc)
-        scores = scores + _rel_shift(rel_wide) / jnp.asarray(hd**0.5, acc)
+        dist = jnp.clip(
+            jnp.arange(t)[None, :] - jnp.arange(t)[:, None], -left, right
+        )
+        posemb = p["distance_embedding"][dist + left].astype(x.dtype)
+        rel = jnp.einsum("bhld,lrd->bhlr", q, posemb,
+                         preferred_element_type=acc)
+        scores = scores + rel / jnp.asarray(hd**0.5, acc)
 
     if mask_bias is not None:
         scores = scores + mask_bias.astype(scores.dtype)
