@@ -117,6 +117,69 @@ def _align(cfg, params, dtype):
                                     audio_multiple=500, token_multiple=16)
 
 
+def test_bf16_longform_matches_f32():
+    """The chunk+stitch long-form path has its own forward plumbing
+    (make_forward_fn over chunk batches + stitched single DP) — gate its
+    bf16 configuration the same way."""
+    import jax
+
+    from wav2vec2_tpu.align.longform import align_longform
+    from wav2vec2_tpu.models.params import init_params
+
+    cfg = Wav2Vec2ModelConfig.from_dict(dict(FAMILIES["wav2vec2-post-norm"]))
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(5)
+    audio = rng.normal(size=48_000).astype(np.float32)
+    transcript = "ab ba ab ca ab"
+
+    outs = {
+        d: align_longform(audio, transcript, params, cfg, VOCAB,
+                          chunk_sec=1.0, overlap_sec=0.25,
+                          sample_rate=16000, compute_dtype=d)
+        for d in ("float32", "bfloat16")
+    }
+    tol_ms = BOUNDARY_TOL_FRAMES * cfg.frame_stride_ms(16000)
+    ref, got = outs["float32"].words, outs["bfloat16"].words
+    assert [w.word for w in got] == [w.word for w in ref] == transcript.split()
+    for wr, wg in zip(ref, got):
+        assert abs(wg.start_ms - wr.start_ms) <= tol_ms, (wr, wg)
+        assert abs(wg.end_ms - wr.end_ms) <= tol_ms, (wr, wg)
+
+
+def test_bf16_online_matches_f32():
+    """The incremental aligner re-runs the DP over a growing window with
+    its own adopted-frontier logic; bf16 must finalize the same words at
+    boundaries within the same budget."""
+    import jax
+
+    from wav2vec2_tpu.align.online import OnlineAligner
+    from wav2vec2_tpu.models.params import init_params
+
+    cfg = Wav2Vec2ModelConfig.from_dict(dict(FAMILIES["wav2vec2-post-norm"]))
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(9)
+    audio = rng.normal(size=48_000).astype(np.float32)
+    transcript = "ab ba ab ca ab"
+
+    words = {}
+    for d in ("float32", "bfloat16"):
+        online = OnlineAligner(cfg, params, VOCAB, transcript,
+                               chunk_sec=1.0, overlap_sec=0.25,
+                               finalize_margin_sec=0.5, normalize="none",
+                               compute_dtype=d)
+        pos, piece = 0, 3100
+        while pos < len(audio):
+            online.push(audio[pos: pos + piece])
+            pos += piece
+        words[d] = online.flush().words
+    tol_ms = BOUNDARY_TOL_FRAMES * cfg.frame_stride_ms(16000)
+    ref, got = words["float32"], words["bfloat16"]
+    assert [w.word for w in got] == [w.word for w in ref] == transcript.split()
+    for wr, wg in zip(ref, got):
+        assert abs(wg.start_ms - wr.start_ms) <= tol_ms, (wr, wg)
+        assert abs(wg.end_ms - wr.end_ms) <= tol_ms, (wr, wg)
+
+
 @pytest.mark.parametrize("family", sorted(FAMILIES), ids=sorted(FAMILIES))
 def test_bf16_matches_f32_boundaries(family):
     import jax
