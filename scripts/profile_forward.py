@@ -30,8 +30,7 @@ def main(argv: list[str]) -> None:
     import jax
     import jax.numpy as jnp
 
-    from wav2vec2_tpu.config import Wav2Vec2ModelConfig
-    from wav2vec2_tpu.models.ctc_model import frame_lengths, wav2vec2_forward
+    from wav2vec2_tpu.models.ctc_model import wav2vec2_forward
     from wav2vec2_tpu.models.encoder import encoder_forward, pos_conv_forward
     from wav2vec2_tpu.models.feature_extractor import (
         feature_extractor_forward,

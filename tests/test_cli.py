@@ -243,7 +243,6 @@ def test_compare_textgrids_cli_paths(tmp_path, capsys):
 def test_all_presets_build_and_run_forward():
     """Every preset constructs and its tiny-audio forward has the right
     output vocab (guards preset geometry for all five families)."""
-    import jax
     import numpy as np
 
     from wav2vec2_tpu.models.presets import PRESETS

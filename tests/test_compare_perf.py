@@ -6,7 +6,6 @@ records; see /root/reference/scripts/wav2vec2aligner_librispeech_textgrids.py).
 
 import importlib.util
 import json
-import sys
 from pathlib import Path
 
 REPO = Path(__file__).parent.parent

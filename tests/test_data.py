@@ -18,7 +18,6 @@ from wav2vec2_tpu.data.textgrid import (
     parse_textgrid_file,
     reference_words_from_textgrid,
     write_textgrid,
-    write_textgrid_file,
 )
 from wav2vec2_tpu.types import WordConfidenceStats, WordTiming
 

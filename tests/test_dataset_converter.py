@@ -8,7 +8,6 @@ import types
 from pathlib import Path
 
 import numpy as np
-import pytest
 
 REPO = Path(__file__).parent.parent
 

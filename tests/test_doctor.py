@@ -2,8 +2,6 @@
 
 import json
 
-import numpy as np
-import pytest
 
 
 def test_doctor_healthy_without_model(capsys):

@@ -2,10 +2,8 @@
 and blank_expansion.rs:120-224, with the same golden frame values."""
 
 import numpy as np
-import pytest
 
 from wav2vec2_tpu.align.grouping import (
-    FrameEvidence,
     RawWord,
     frame_evidence_from_log_probs,
     group_into_words,

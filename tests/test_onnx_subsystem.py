@@ -266,7 +266,6 @@ def test_proto_decodes_packed_repeated_fields():
         write_int,
         write_len_delimited,
         write_string,
-        write_tag,
         _write_varint,
     )
 
@@ -354,7 +353,6 @@ def test_foreign_torch_exported_file_parses(tmp_path):
     assert model.graph.nodes
     convs = [n for n in model.graph.nodes if n.op_type == "Conv"]
     assert convs and convs[0].attr("kernel_shape") == [3]
-    names = {n for n, a in model.graph.initializers.items()}
     assert any(a.ndim == 3 for a in model.graph.initializers.values())
     try:
         sess = EmbeddedOnnxSession(path)

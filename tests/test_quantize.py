@@ -5,7 +5,6 @@ agreement with the bf16 path on a tiny model."""
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from wav2vec2_tpu.config import Wav2Vec2ModelConfig
 from wav2vec2_tpu.models.params import init_params
@@ -68,7 +67,6 @@ def test_quantized_stacked_layers_shapes():
 
 def test_int8_forward_close_and_boundaries_agree():
     from wav2vec2_tpu.parallel.batching import BatchAligner
-    from wav2vec2_tpu.align.tokenization import build_token_sequence_case_aware
 
     vocab = {"|": 4}
     for i, c in enumerate("ETAONIHSRDLUMWCFGYPBVKXJQZ"):

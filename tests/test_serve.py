@@ -12,7 +12,6 @@ import numpy as np
 import pytest
 
 from wav2vec2_tpu.serve import (
-    AlignmentService,
     build_service_from_model_dir,
     make_handler,
 )

@@ -225,7 +225,6 @@ def test_w2v_bert_batch_aligner_and_cli(tmp_path):
     from wav2vec2_tpu.cli.alignment_report import run as cli_run
     from wav2vec2_tpu.data.flac_encoder import write_flac
     from wav2vec2_tpu.models.params import init_params
-    from wav2vec2_tpu.models.presets import PRESETS
     from wav2vec2_tpu.parallel.batching import BatchAligner
     from wav2vec2_tpu.utils.checkpoint import save_safetensors
 

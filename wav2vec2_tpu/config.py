@@ -12,7 +12,7 @@ output parity — per SURVEY.md §5 "Config / flag system".
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Optional
 

@@ -311,7 +311,7 @@ def export_ctc_model(cfg: Wav2Vec2ModelConfig, params: dict) -> Model:
                          enc["layer_norm"]["weight"],
                          enc["layer_norm"]["bias"], eps)
 
-    logits = g.dense(x, "lm_head", params["lm_head"])
+    g.dense(x, "lm_head", params["lm_head"])
     # the dense helper names its output internally; re-emit under "logits"
     g.graph.nodes[-1].outputs[0] = "logits"
     g.graph.add_output("logits", FLOAT, ["batch", "time", int(cfg.vocab_size)])

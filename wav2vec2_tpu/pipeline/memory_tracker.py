@@ -12,7 +12,6 @@ exposes on real chips; None where the backend doesn't report it.
 from __future__ import annotations
 
 import threading
-import time
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Callable, Optional
