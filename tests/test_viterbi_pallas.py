@@ -135,8 +135,9 @@ def test_all_four_backends_agree_via_pipeline():
 
 
 def test_hbm_kernel_large_vocab_falls_back_to_pregathered():
-    """vocab > 128 can't use the one-hot gather variant; the pre-gathered
-    [T, S] emission path must still produce oracle-identical output."""
+    """Wide vocab + SHORT transcript: v_pad >= 2*s_pad means the
+    pre-gathered [T, S] emission path wins HBM traffic (_use_onehot_gather
+    dispatch); it must still produce oracle-identical output."""
     from wav2vec2_tpu.ops.viterbi_pallas import viterbi_pallas_single_hbm
 
     rng = np.random.default_rng(5)
@@ -149,3 +150,64 @@ def test_hbm_kernel_large_vocab_falls_back_to_pregathered():
     )
     ref = viterbi_numpy(lp, tokens)
     assert [s for s, _ in ref] == list(np.asarray(path)[:t_len])
+
+
+def test_hbm_gather_tier_phoneme_vocab():
+    """vocab > 128 (phoneme-CTC scale, V=392 -> v_pad=512) keeps the
+    in-kernel one-hot gather tier: the MXU contraction tiles over
+    ceil(V/128)=4 lane chunks and stays bit-exact vs the oracle
+    (VERDICT r3 item 5 — the halved-HBM path must not silently cap at 128
+    symbols)."""
+    from wav2vec2_tpu.ops.viterbi_pallas import (
+        _use_onehot_gather,
+        viterbi_pallas_single_hbm,
+    )
+
+    t_len, vocab, s_len = 168, 392, 301
+    assert _use_onehot_gather(vocab, s_len)  # dispatch really takes gather
+    rng = np.random.default_rng(17)
+    lp = rng.normal(size=(t_len, vocab)).astype(np.float32)
+    tokens = np.asarray(rng.integers(0, vocab, size=s_len), np.int32)
+    path = viterbi_pallas_single_hbm(
+        jnp.asarray(lp), jnp.asarray(tokens),
+        jnp.int32(t_len), jnp.int32(s_len), interpret=INTERPRET,
+    )
+    ref = viterbi_numpy(lp, tokens)
+    assert [s for s, _ in ref] == list(np.asarray(path)[:t_len])
+
+
+def test_batch_hbm_gather_tier_phoneme_vocab(monkeypatch):
+    """Grid-over-batch HBM tier with vocab > 128: the batched one-hot
+    gather ([B, v_pad, s_pad] blocks) must match the per-sample oracle."""
+    import wav2vec2_tpu.ops.viterbi_pallas as vp
+
+    monkeypatch.setattr(vp, "VMEM_BUDGET_BYTES", 1)  # force the HBM tier
+    b, t_len, vocab, s_len = 2, 72, 392, 261
+    assert vp._use_onehot_gather(vocab, s_len)
+    rng = np.random.default_rng(23)
+    lp = rng.normal(size=(b, t_len, vocab)).astype(np.float32)
+    tokens = np.stack([
+        rng.integers(0, vocab, size=s_len).astype(np.int32) for _ in range(b)
+    ])
+    t_lens = np.asarray([t_len, t_len - 9], np.int32)
+    s_lens = np.asarray([s_len, s_len - 24], np.int32)
+    paths = vp.viterbi_pallas_batch(
+        jnp.asarray(lp), jnp.asarray(tokens),
+        jnp.asarray(t_lens), jnp.asarray(s_lens), interpret=INTERPRET,
+    )
+    for i in range(b):
+        ref = viterbi_numpy(lp[i, :t_lens[i]], tokens[i, :s_lens[i]])
+        assert [s for s, _ in ref] == list(np.asarray(paths)[i, :t_lens[i]])
+
+
+def test_use_onehot_gather_dispatch_rule():
+    """Traffic + VMEM-budget dispatch: char vocabs always gather; wide
+    vocab with short transcripts pre-gathers; an s_pad so large the one-hot
+    exceeds its VMEM budget pre-gathers."""
+    from wav2vec2_tpu.ops.viterbi_pallas import _use_onehot_gather
+
+    assert _use_onehot_gather(32, 5000)        # char-level CTC
+    assert _use_onehot_gather(392, 301)        # phoneme CTC, 30 s window
+    assert not _use_onehot_gather(392, 17)     # v_pad=512 >= 2*s_pad=256
+    assert _use_onehot_gather(392, 8000)       # 512*8064*4 = 15.8 MB: fits
+    assert not _use_onehot_gather(392, 8300)   # one-hot above 16 MB budget

@@ -147,9 +147,10 @@ def _make_blocked_kernel(
     assert bit-identical paths vs the numpy oracle.
 
     `gather_onehot`: instead of a pre-gathered [T, S] emission matrix, the
-    kernel streams the RAW [T, V<=128] log-probs and expands each 8-row
+    kernel streams the RAW [T, v_pad] log-probs and expands each 8-row
     block to [8, S] on the MXU with a one-hot token matrix (exact: each
-    output sums one x*1.0 against 127 zeros, precision=HIGHEST). This
+    output sums one x*1.0 against v_pad-1 zeros, precision=HIGHEST; vocab
+    beyond 128 just contracts over ceil(V/128) lane chunks). This
     removes the [T, S] f32 emission array from HBM — at hour scale that
     array alone would not fit next to the backpointers (e.g. T=180k,
     S=13k: 9.4 GB each) — and halves the DP's HBM traffic.
@@ -473,7 +474,8 @@ def viterbi_pallas_batch(log_probs, tokens, t_lens, s_lens, interpret=False):
         return jax.vmap(fn)(log_probs, tokens, t_lens, s_lens)
 
     bp_in_vmem = 4 * t_pad * s_pad <= VMEM_BUDGET_BYTES
-    gather = (not bp_in_vmem) and v <= LANE
+    gather = (not bp_in_vmem) and _use_onehot_gather(v, int(tokens.shape[1]))
+    v_pad = _round_up(max(v, LANE), LANE)
 
     tokens_p = jnp.pad(
         tokens.astype(jnp.int32), ((0, 0), (0, s_pad - tokens.shape[1]))
@@ -499,19 +501,19 @@ def viterbi_pallas_batch(log_probs, tokens, t_lens, s_lens, interpret=False):
 
     if gather:
         lp = log_probs.astype(jnp.float32)
-        lp = jnp.pad(lp, ((0, 0), (0, t_pad - t_orig), (0, LANE - v)))
+        lp = jnp.pad(lp, ((0, 0), (0, t_pad - t_orig), (0, v_pad - v)))
         onehot = (
             tokens_p[:, None, :]
-            == jnp.arange(LANE, dtype=jnp.int32)[None, :, None]
-        ).astype(jnp.float32)  # [B, LANE, s_pad]
+            == jnp.arange(v_pad, dtype=jnp.int32)[None, :, None]
+        ).astype(jnp.float32)  # [B, v_pad, s_pad]
         path, _ = pl.pallas_call(
             _KERNEL_BP_HBM_GATHER_BATCH,
             in_specs=[
                 smem, smem, hbm, tokneq_spec,
-                pl.BlockSpec((1, LANE, s_pad), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, v_pad, s_pad), lambda i: (i, 0, 0)),
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, 8, LANE), jnp.float32),
+                pltpu.VMEM((2, 8, v_pad), jnp.float32),
                 pltpu.VMEM((2, 8, s_pad), jnp.int32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
@@ -577,12 +579,14 @@ def viterbi_pallas_single_hbm(
 ) -> jnp.ndarray:
     """HBM-resident-backpointer variant for T·S beyond VMEM (long-form).
 
-    With vocab <= 128 (every char-level wav2vec2 CTC head), emissions are
-    gathered IN-KERNEL from the raw [T, V] log-probs via a one-hot MXU dot,
-    so HBM holds only the int32 backpointers — without this, hour-scale
-    audio cannot fit ([T, S] f32 emissions + int32 bp at T=180k, S=13k are
-    ~9.4 GB EACH against 16 GB of HBM), and the DP's HBM traffic halves."""
-    if log_probs.shape[1] <= LANE:
+    When the in-kernel gather pays for itself (see `_use_onehot_gather` —
+    char-level vocabs always, phoneme-CTC vocabs in the 100s via lane-chunk
+    tiling of the one-hot), emissions are gathered IN-KERNEL from the raw
+    [T, V] log-probs via a one-hot MXU dot, so HBM holds only the int32
+    backpointers — without this, hour-scale audio cannot fit ([T, S] f32
+    emissions + int32 bp at T=180k, S=13k are ~9.4 GB EACH against 16 GB of
+    HBM), and the DP's HBM traffic halves."""
+    if _use_onehot_gather(log_probs.shape[1], int(tokens.shape[0])):
         return _viterbi_hbm_gather(log_probs, tokens, t_len, s_len, interpret)
     emit, tokneq, t_orig, t_pad, s_pad = _prepare_inputs(log_probs, tokens)
 
@@ -622,14 +626,18 @@ def viterbi_pallas_single_hbm(
 def _viterbi_hbm_gather(log_probs, tokens, t_len, s_len, interpret):
     t_orig = log_probs.shape[0]
     v = log_probs.shape[1]
+    v_pad = _round_up(max(v, LANE), LANE)
     t_pad = _round_up(max(t_orig, 8), 8)
     s_pad = _round_up(max(int(tokens.shape[0]), LANE), LANE)
     tokens_p = jnp.pad(tokens.astype(jnp.int32), (0, s_pad - tokens.shape[0]))
     lp = log_probs.astype(jnp.float32)
-    lp = jnp.pad(lp, ((0, t_pad - t_orig), (0, LANE - v)))
+    lp = jnp.pad(lp, ((0, t_pad - t_orig), (0, v_pad - v)))
+    # vocab > 128 tiles naturally: the [8, v_pad] @ [v_pad, s_pad] MXU dot
+    # contracts ceil(V/128) lane chunks; each output cell still sums exactly
+    # one x*1.0 against zeros, so the gather stays bit-exact
     onehot = (
-        tokens_p[None, :] == jnp.arange(LANE, dtype=jnp.int32)[:, None]
-    ).astype(jnp.float32)  # [LANE, s_pad]
+        tokens_p[None, :] == jnp.arange(v_pad, dtype=jnp.int32)[:, None]
+    ).astype(jnp.float32)  # [v_pad, s_pad]
     tokneq = (tokens_p != jnp.roll(tokens_p, 2)).astype(jnp.int32)[None, :]
 
     path, _ = pl.pallas_call(
@@ -641,7 +649,7 @@ def _viterbi_hbm_gather(log_probs, tokens, t_len, s_len, interpret):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.HBM),   # raw log-probs [T, 128]
+            pl.BlockSpec(memory_space=pltpu.HBM),   # raw log-probs [T, v_pad]
             pl.BlockSpec(memory_space=pltpu.VMEM),  # tokneq
             pl.BlockSpec(memory_space=pltpu.VMEM),  # one-hot token matrix
         ],
@@ -650,7 +658,7 @@ def _viterbi_hbm_gather(log_probs, tokens, t_len, s_len, interpret):
             pl.BlockSpec(memory_space=pltpu.HBM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 8, LANE), jnp.float32),   # raw log-prob window
+            pltpu.VMEM((2, 8, v_pad), jnp.float32),  # raw log-prob window
             pltpu.VMEM((2, 8, s_pad), jnp.int32),    # bp block buffer
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -673,6 +681,31 @@ def _viterbi_hbm_gather(log_probs, tokens, t_len, s_len, interpret):
 
 
 VMEM_BUDGET_BYTES = 12 * 1024 * 1024  # leave headroom below the ~16 MB VMEM
+
+# The one-hot token matrix of the in-kernel gather tier lives in VMEM for
+# the whole kernel (reused by every 8-row block); cap it well below the
+# 64 MB scoped limit the gather kernels request so the block buffers +
+# path rows always fit beside it.
+ONEHOT_VMEM_BUDGET_BYTES = 16 * 1024 * 1024
+
+
+def _use_onehot_gather(v: int, s_len: int) -> bool:
+    """Dispatch rule for the in-kernel one-hot emission gather (HBM tiers).
+
+    Traffic accounting: the gather tier reads [T, v_pad] raw log-probs once;
+    the pre-gathered tier writes + reads a [T, s_pad] f32 emission matrix
+    (XLA gather output, then kernel stream) — so the gather wins HBM traffic
+    whenever v_pad < 2·s_pad. vocab > 128 (phoneme CTC: 100s of symbols,
+    e.g. V≈392) tiles the one-hot contraction over ceil(V/128) lane chunks
+    on the MXU — bit-exact, each output still sums exactly one x·1.0.
+    The only hard cap is the one-hot matrix [v_pad, s_pad] f32 staying
+    within its VMEM budget."""
+    v_pad = _round_up(max(v, LANE), LANE)
+    s_pad = _round_up(max(s_len, LANE), LANE)
+    return (
+        v_pad < 2 * s_pad
+        and 4 * v_pad * s_pad <= ONEHOT_VMEM_BUDGET_BYTES
+    )
 
 
 def fits_vmem(t_len: int, s_len: int) -> bool:
