@@ -242,7 +242,16 @@ def init_params(
         else enc_layer
     )
     layers = [layer_builder() for _ in range(cfg.num_hidden_layers)]
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    if layers:
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    else:
+        # num_hidden_layers == 0 (conv-only CTC heads — e.g. the local-
+        # emission models the signal-regime stitching validation trains):
+        # lax.scan over a length-0 leading axis runs zero iterations
+        template = layer_builder()
+        stacked = jax.tree.map(
+            lambda x: jnp.zeros((0,) + x.shape, x.dtype), template
+        )
 
     if conformer_bert:
         # mel frontend (models/mel.py) replaces the conv stack; the
