@@ -121,6 +121,126 @@ def main():
     for _ in range(3 if on_tpu else 1):  # warmup: compile + tunnel steady state
         outs = drain(submit())
 
+    # --- correctness gates (outside the timed loop) -----------------------
+    # A wedged-but-plausible kernel regression (e.g. a band-mask bug that
+    # still yields words) must FAIL the bench, not just len(words) > 0:
+    # (a) device DP paths bit-identical vs the numpy oracle on the SAME
+    #     graph's log-probs (reference: the bit-identical-backends contract,
+    #     viterbi_cuda.rs:197-216);
+    # (b) grouped word boundaries vs host-oracle grouping from those
+    #     log-probs;
+    # (c) the serving dtype: bf16-vs-f32 boundary agreement on the real MXU
+    #     (the CPU-bf16 suite in tests/test_bf16_families.py cannot
+    #     exercise MXU rounding).
+    from wav2vec2_tpu.align.grouping import frame_evidence_from_log_probs
+    from wav2vec2_tpu.ops.viterbi_ref import viterbi_numpy
+
+    n_check = 16 if on_tpu else 2
+    handles = aligner.submit_padded_batch(
+        dev_audio, dev_a_l, dev_tokens, dev_s_l, return_log_probs=True
+    )
+    paths_v, t_lens_v, *_rest, lp_v = jax.device_get(handles)
+    outs_v = drain(handles)
+    total_words = exact = within_one = 0
+    stride_ms = cfg.frame_stride_ms(16000)
+    for j in range(n_check):
+        seq = seqs[j]
+        t_i = int(t_lens_v[j])
+        s_i = len(seq.tokens)
+        lp_j = np.asarray(lp_v[j, :t_i], np.float32)
+        oracle = viterbi_numpy(lp_j, np.asarray(seq.tokens, np.int32))
+        oracle_states = np.asarray([s for s, _ in oracle], np.int32)
+        assert (paths_v[j, :t_i] == oracle_states).all(), (
+            f"bench gate (a) FAILED: device DP path differs from the numpy "
+            f"oracle at utterance {j} "
+            f"(first diff frame {int(np.argmax(paths_v[j, :t_i] != oracle_states))}, "
+            f"T={t_i}, S={s_i})"
+        )
+        ev = frame_evidence_from_log_probs(lp_j, seq.tokens, oracle_states, 0)
+        host_words = group_into_words(
+            oracle_states, seq.tokens, seq.chars, seq.normalized_words,
+            ev, 0, 4, stride_ms,
+        )
+        dev_words = outs_v[j]
+        assert [w.word for w in dev_words] == [w.word for w in host_words], (
+            f"bench gate (b) FAILED: word sequences differ at utterance {j}"
+        )
+        for wd, wh in zip(dev_words, host_words):
+            total_words += 1
+            d = max(abs(wd.start_ms - wh.start_ms), abs(wd.end_ms - wh.end_ms))
+            exact += d == 0
+            within_one += d <= stride_ms
+    assert within_one == total_words and exact >= 0.99 * total_words, (
+        f"bench gate (b) FAILED: device-evidence grouping vs host oracle — "
+        f"{exact}/{total_words} exact, {within_one}/{total_words} within "
+        f"one frame"
+    )
+
+    aligner_f32 = BatchAligner(
+        cfg, params, vocab, compute_dtype="float32", normalize_on_device=True
+    )
+    f32_handles = aligner_f32.submit_padded_batch(
+        dev_audio, dev_a_l, dev_tokens, dev_s_l, return_log_probs=True
+    )
+    lp_f32 = jax.device_get(f32_handles[-1])
+    outs_f32 = drain(f32_handles)
+    # BOUNDARY agreement is NOT a meaningful dtype gate in this benchmark:
+    # random weights on white noise are the no-signal regime, where
+    # near-uniform logits make every Viterbi transition a near-tie and
+    # bf16-vs-f32 legitimately flips a third of the boundaries (measured on
+    # TPU: 1638/2560 within one frame, 882 beyond two — tie flips, not
+    # errors). The signal-regime boundary gate (trained model, acoustically
+    # pinned boundaries, real MXU) lives in scripts/bf16_gate_tpu.py and
+    # runs in tpu-manual.yml. What IS meaningful here, on the flagship
+    # geometry: the word sequences must match and the bf16 log-prob field
+    # must sit within accumulated-bf16-rounding distance of the f32 graph —
+    # a wrong-dtype regression (e.g. norms computed in bf16) shifts it by
+    # orders of magnitude.
+    lp_mean_d = lp_p99_d = 0.0
+    n_frames = 0
+    bf16_words = bf16_within_one = 0
+    all_d = []
+    for j in range(batch):
+        got, ref = outs_v[j], outs_f32[j]
+        assert [w.word for w in got] == [w.word for w in ref], (
+            f"bench gate (c) FAILED: bf16 vs f32 word sequences differ at "
+            f"utterance {j}"
+        )
+        for wg, wr in zip(got, ref):
+            d = max(abs(wg.start_ms - wr.start_ms), abs(wg.end_ms - wr.end_ms))
+            bf16_words += 1
+            bf16_within_one += d <= stride_ms
+        t_i = int(t_lens_v[j])
+        all_d.append(
+            np.abs(
+                np.asarray(lp_v[j, :t_i], np.float64)
+                - np.asarray(lp_f32[j, :t_i], np.float64)
+            ).ravel()
+        )
+    all_d = np.concatenate(all_d)
+    lp_mean_d = float(all_d.mean())
+    lp_p99_d = float(np.percentile(all_d, 99))
+    n_frames = all_d.size
+    # caps = 4x/8x the TPU-measured values (mean 0.0120, p99 0.0384, r4)
+    assert lp_mean_d <= 0.05 and lp_p99_d <= 0.3, (
+        f"bench gate (c) FAILED: bf16 log-probs diverge from f32 beyond "
+        f"bf16 rounding — mean|Δ|={lp_mean_d:.4f} (cap 0.05), "
+        f"p99|Δ|={lp_p99_d:.4f} (cap 0.3) over {n_frames} frame·vocab"
+    )
+    import sys
+
+    print(
+        f"bench gates: DP paths bit-identical ({n_check} utts), grouping "
+        f"{exact}/{total_words} exact vs host oracle, bf16-vs-f32 "
+        f"log-prob mean|Δ|={lp_mean_d:.4f} p99|Δ|={lp_p99_d:.4f}; "
+        f"[info, no-signal regime] bf16-vs-f32 boundaries "
+        f"{bf16_within_one}/{bf16_words} within one frame",
+        file=sys.stderr,
+    )
+    del aligner_f32, f32_handles, handles, paths_v, t_lens_v, lp_v, lp_f32, \
+        outs_v, outs_f32
+    # ----------------------------------------------------------------------
+
     # Steady-state serving throughput: double-buffered submit/drain — the
     # next batch's device work overlaps this batch's readback + host
     # grouping, exactly as the streaming BatchAligner path runs in

@@ -49,7 +49,16 @@ def bench_one(name: str, batch: int, repeats: int, audio_sec: float) -> dict:
 
     rng = np.random.default_rng(0)
     n = int(audio_sec * 16000)
-    transcripts = [" ".join(rng.permutation(WORDS)) for _ in range(batch)]
+    # CTC feasibility: T >= ceil(S/2). Coarse-frame heads (add_adapter at
+    # 160 ms) can't fit the full 20-word transcript in audio_sec — cap the
+    # word count to half the frame budget
+    t_frames = cfg.conv_output_length(n)
+    k = len(WORDS)
+    while k > 1 and 2 * (1 + sum(len(w) + 1 for w in WORDS[:k]) * 2) > 2 * t_frames:
+        k -= 1
+    transcripts = [
+        " ".join(rng.permutation(WORDS[:k])) for _ in range(batch)
+    ]
     seqs = [build_token_sequence_case_aware(t, vocab, 0, 4) for t in transcripts]
     audio = (rng.normal(size=(batch, n)) * 4000).clip(-32768, 32767).astype(np.int16)
     tokens = np.zeros((batch, 256), np.int32)
@@ -97,7 +106,10 @@ def bench_one(name: str, batch: int, repeats: int, audio_sec: float) -> dict:
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--models",
-                   default="wavlm-base-plus,data2vec-audio-base-960h,mms-1b")
+                   default="wavlm-base-plus,data2vec-audio-base-960h,mms-1b",
+                   help="comma list of presets, or 'all' for every family "
+                        "at its standard bench batch (64 base / 32 large / "
+                        "16 mms)")
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--mms-batch", type=int, default=16,
                    help="smaller batch for the 1B-param model")
@@ -117,8 +129,21 @@ def main(argv=None) -> int:
         Path(args.emit_json).parent.mkdir(parents=True, exist_ok=True)
         with open(args.emit_json, "a", encoding="utf-8"):
             pass
-    for name in [m.strip() for m in args.models.split(",") if m.strip()]:
-        b = args.mms_batch if name.startswith("mms") else args.batch
+    if args.models == "all":
+        from wav2vec2_tpu.models.presets import PRESETS
+
+        names = [n for n in PRESETS if n != "xlsr-53"]  # same geometry as
+        # wav2vec2-large-960h-lv60 (only the vocab head differs)
+    else:
+        names = [m.strip() for m in args.models.split(",") if m.strip()]
+    for name in names:
+        if name.startswith("mms"):
+            b = args.mms_batch
+        elif "large" in name or "bert" in name or "conformer" in name:
+            b = min(args.batch, 32)  # 600M-param geometries: bound f32
+            # activation memory and pin the historical batch shape
+        else:
+            b = args.batch
         r = bench_one(name, b, args.repeats, args.audio_seconds)
         print(json.dumps(r), flush=True)
         if args.emit_json:

@@ -673,3 +673,50 @@ def test_conformer_tensor_parallel_sharding(setup):
             assert (wx.start_ms, wx.end_ms) == (wy.start_ms, wy.end_ms)
         n += len(x.words)
     assert n > 0
+
+
+def test_submit_return_log_probs_audit_variant(setup):
+    """bench.py's correctness audit uses submit_padded_batch(...,
+    return_log_probs=True): the extra output must be the same graph's
+    log-probs (oracle DP on them reproduces the returned paths bit-exactly)
+    and the other outputs must match the default call."""
+    import jax
+
+    from wav2vec2_tpu.config import Wav2Vec2ModelConfig
+    from wav2vec2_tpu.models.params import init_params
+    from wav2vec2_tpu.ops.viterbi_ref import viterbi_numpy
+    from wav2vec2_tpu.parallel.batching import BatchAligner
+
+    cfg = Wav2Vec2ModelConfig(
+        hidden_size=32, num_hidden_layers=1, num_attention_heads=2,
+        intermediate_size=64, conv_dim=[16, 16], conv_kernel=[10, 3],
+        conv_stride=[5, 2], num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4, pad_token_id=0, vocab_size=8,
+        feat_extract_norm="group", conv_bias=False,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(3))
+    vocab = {"a": 1, "b": 2, "|": 3, "c": 4}
+    aligner = BatchAligner(cfg, params, vocab, compute_dtype="float32",
+                           use_pallas=False, normalize_on_device=True)
+    rng = np.random.default_rng(5)
+    audio = rng.normal(size=(2, 3000)).astype(np.float32)
+    a_l = np.array([3000, 2600], np.int32)
+    tokens = np.zeros((2, 16), np.int32)
+    tokens[0, :7] = [0, 1, 0, 2, 0, 4, 0]
+    tokens[1, :5] = [0, 4, 0, 1, 0]
+    s_l = np.array([7, 5], np.int32)
+
+    plain = [np.asarray(x) for x in
+             aligner.submit_padded_batch(audio, a_l, tokens, s_l)]
+    audited = [np.asarray(x) for x in
+               aligner.submit_padded_batch(audio, a_l, tokens, s_l,
+                                           return_log_probs=True)]
+    assert len(audited) == len(plain) + 1
+    for a, b in zip(plain, audited[:-1]):
+        np.testing.assert_array_equal(a, b)
+    lp = audited[-1]
+    paths, t_lens = audited[0], audited[1]
+    for j in range(2):
+        t_i = int(t_lens[j])
+        oracle = viterbi_numpy(lp[j, :t_i], tokens[j, : s_l[j]])
+        assert [s for s, _ in oracle] == list(paths[j, :t_i])

@@ -141,11 +141,12 @@ def _evidence_batch(log_probs, tokens, paths, blank_id):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "compute_dtype", "use_pallas", "interpret", "normalize"),
+    static_argnames=("cfg", "compute_dtype", "use_pallas", "interpret",
+                     "normalize", "return_log_probs"),
 )
 def _batch_align_kernel(
     params, audio, audio_lens, tokens, s_lens, blank_id, cfg, compute_dtype,
-    use_pallas, interpret, normalize=False,
+    use_pallas, interpret, normalize=False, return_log_probs=False,
 ):
     if normalize:
         audio = _normalize_batch(audio, audio_lens)
@@ -170,6 +171,11 @@ def _batch_align_kernel(
     emit_lp, margin, blank_prob, entropy = _evidence_batch(
         log_probs, tokens, paths, blank_id
     )
+    if return_log_probs:
+        # correctness-audit variant (bench.py verify pass): expose the same
+        # graph's log-probs so oracle comparisons are bit-meaningful —
+        # a standalone forward could fuse (and round) differently
+        return paths, t_lens, emit_lp, margin, blank_prob, entropy, log_probs
     return paths, t_lens, emit_lp, margin, blank_prob, entropy
 
 
@@ -269,7 +275,8 @@ class BatchAligner:
             jax.device_put(s_lens, bs),
         )
 
-    def submit_padded_batch(self, audio, audio_lens, tokens, s_lens):
+    def submit_padded_batch(self, audio, audio_lens, tokens, s_lens,
+                            return_log_probs=False):
         """Enqueue one padded batch; returns DEVICE handles without blocking
         (uploads and kernels run async — the double-buffering lever). With a
         mesh, the batch dim is padded to a multiple of the 'data' axis size
@@ -322,6 +329,7 @@ class BatchAligner:
             self.params, audio, audio_lens, tokens, s_lens,
             jnp.int32(self.blank_id), self.cfg, self.compute_dtype,
             use_pallas, self.interpret, self.normalize_on_device,
+            return_log_probs,
         )
 
     def align_padded_batch(self, audio, audio_lens, tokens, s_lens):
