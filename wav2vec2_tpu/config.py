@@ -127,6 +127,11 @@ class Wav2Vec2ModelConfig:
     right_max_position_embeddings: int = 8
     use_intermediate_ffn_before_adapter: bool = False
     adapter_act: str = "relu"
+    # serving-path switch (not a checkpoint field): route encoder attention
+    # through the fused Pallas kernel (ops/flash_attention.py). Set by
+    # BatchAligner on TPU without a mesh; part of the jit cache key via
+    # _FrozenCfg so flipping it retraces.
+    use_flash_attention: bool = False
 
     @classmethod
     def from_dict(cls, d: dict) -> "Wav2Vec2ModelConfig":

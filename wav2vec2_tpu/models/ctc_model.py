@@ -217,6 +217,7 @@ class _FrozenCfg:
                 getattr(cfg, "right_max_position_embeddings", 8),
                 getattr(cfg, "use_intermediate_ffn_before_adapter", False),
                 getattr(cfg, "adapter_act", "relu"),
+                getattr(cfg, "use_flash_attention", False),
             ),
         )
 

@@ -134,6 +134,7 @@ def _self_attention(
     mask_bias: jnp.ndarray | None,
     num_heads: int,
     position_bias: jnp.ndarray | None = None,
+    use_flash: bool = False,
 ) -> jnp.ndarray:
     b, t, h = x.shape
     head_dim = h // num_heads
@@ -159,6 +160,19 @@ def _self_attention(
     q = split_heads(linear_maybe_quantized(x, p["q_proj"]) * scale)
     k = split_heads(linear_maybe_quantized(x, p["k_proj"]))
     v = split_heads(linear_maybe_quantized(x, p["v_proj"]))
+
+    if use_flash and position_bias is None:
+        from ..ops import flash_attention as fa
+
+        if fa.use_flash(t, head_dim):
+            # fused kernel: no [B, H, T, T] score tensor in HBM, f32
+            # softmax in VMEM (ops/flash_attention.py). mask_bias is the
+            # [B, 1, 1, T] additive key mask here (the gated WavLM bias is
+            # excluded by `position_bias is None`).
+            mb = None if mask_bias is None else mask_bias.reshape(b, t)
+            out = fa.flash_attention(q, k, v, mb, scale=1.0)
+            out = out.transpose(0, 2, 1, 3).reshape(b, t, h)
+            return linear_maybe_quantized(out, p["out_proj"])
 
     if x.dtype == jnp.float32:
         scores = jnp.einsum(
@@ -237,6 +251,7 @@ def _encoder_layer(
 ) -> jnp.ndarray:
     eps = cfg.layer_norm_eps
     nh = cfg.num_attention_heads
+    flash = getattr(cfg, "use_flash_attention", False)
     if cfg.do_stable_layer_norm:
         # pre-norm: h = x + attn(ln1(x)); y = h + ff(ln2(h))
         h = x + _self_attention(
@@ -245,6 +260,7 @@ def _encoder_layer(
             mask_bias,
             nh,
             position_bias,
+            use_flash=flash,
         )
         y = h + _feed_forward(
             lp["feed_forward"],
@@ -253,7 +269,8 @@ def _encoder_layer(
     else:
         # post-norm (wav2vec2-base): h = ln1(x + attn(x)); y = ln2(h + ff(h))
         h = layer_norm(
-            x + _self_attention(lp["attention"], x, mask_bias, nh, position_bias),
+            x + _self_attention(lp["attention"], x, mask_bias, nh,
+                                position_bias, use_flash=flash),
             lp["layer_norm"]["weight"],
             lp["layer_norm"]["bias"],
             eps,
@@ -557,6 +574,34 @@ def _conformer_attention(
     q = split_heads(linear_maybe_quantized(qk_states, p["linear_q"]))
     k = split_heads(linear_maybe_quantized(qk_states, p["linear_k"]))
     v = split_heads(linear_maybe_quantized(x, p["linear_v"]))
+
+    if getattr(cfg, "use_flash_attention", False) and style != "relative_key":
+        # fused kernel (ops/flash_attention.py): for style="relative" the
+        # Transformer-XL term runs in its per-diagonal form — one extra
+        # [128, hd]·[hd, T+128] MXU matmul per query tile + an in-VMEM
+        # shear — instead of the factorized U·G contraction whose inner
+        # dimension H costs nh/2× the FLOPs (and whose [B, nh, T, H]
+        # intermediates cost ~0.5 GB each at B=32, T=499). relative_key
+        # keeps the measured-winner XLA gather form (see below).
+        from ..ops import flash_attention as fa
+
+        rel = style == "relative"
+        if fa.use_flash(t, hd, rel=rel):
+            mb = None if mask_bias is None else mask_bias.reshape(b, t)
+            if rel:
+                bias_u = p["pos_bias_u"].astype(x.dtype)[None, :, None, :]
+                bias_v = p["pos_bias_v"].astype(x.dtype)[None, :, None, :]
+                rel_r = fa.rel_table_rev(
+                    p["linear_pos"]["kernel"], nh, fa.pad_len(t), x.dtype
+                )
+                out = fa.flash_attention(
+                    q + bias_u, k, v, mb, q_pos=q + bias_v, rel_r=rel_r,
+                    scale=hd ** -0.5,
+                )
+            else:
+                out = fa.flash_attention(q, k, v, mb, scale=hd ** -0.5)
+            out = out.transpose(0, 2, 1, 3).reshape(b, t, h)
+            return linear_maybe_quantized(out, p["linear_out"])
 
     acc = jnp.float32 if x.dtype == jnp.float32 else x.dtype
     if style == "relative":

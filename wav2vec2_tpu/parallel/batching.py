@@ -200,10 +200,29 @@ class BatchAligner:
         normalize_on_device: bool = False,
         quantize_int8: bool = False,
         units: str = "word",
+        use_flash_attention: bool | None = None,
     ):
         from ..ops.viterbi_pallas import on_tpu
 
         self.normalize_on_device = normalize_on_device
+        if use_flash_attention is None:
+            # auto: fused attention on real TPU, single-device only (a
+            # pallas_call cannot be GSPMD-partitioned under a mesh); int8
+            # serving keeps the XLA path (its projections feed the MXU's
+            # int8 kernels, scores are unaffected but unproven — opt in
+            # explicitly)
+            use_flash_attention = (
+                on_tpu() and mesh is None and not quantize_int8
+            )
+        if use_flash_attention and not getattr(
+            model_cfg, "use_flash_attention", False
+        ):
+            import dataclasses
+
+            if isinstance(model_cfg, Wav2Vec2ModelConfig):
+                model_cfg = dataclasses.replace(
+                    model_cfg, use_flash_attention=True
+                )
         self.cfg = _freeze_cfg(model_cfg)
         if quantize_int8:
             # opt-in int8 serving mode: encoder projections run on the MXU's
