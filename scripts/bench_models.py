@@ -28,7 +28,14 @@ WORDS = ["THE", "QUICK", "BROWN", "FOX", "JUMPS", "OVER", "LAZY", "DOG",
          "WINTER", "STARS", "NEAR", "FROZEN", "RIVERS", "TONIGHT"]
 
 
-def bench_one(name: str, batch: int, repeats: int, audio_sec: float) -> dict:
+def bench_one(name: str, batch: int, repeats: int, audio_sec: float,
+              flash: str = "auto") -> dict:
+    """flash: 'auto' (shipping dispatch — the kernel fires only where
+    measured faster), 'force' (WAV2VEC2_FLASH_FORCE: kernel wherever
+    legal), 'off' (XLA attention everywhere) — the A/B lever behind
+    reports/flash_ab_r5.jsonl."""
+    import os
+
     import jax
 
     from wav2vec2_tpu.align.grouping import group_into_words
@@ -36,7 +43,14 @@ def bench_one(name: str, batch: int, repeats: int, audio_sec: float) -> dict:
     from wav2vec2_tpu.align.tokenization import build_token_sequence_case_aware
     from wav2vec2_tpu.models.params import init_params
     from wav2vec2_tpu.models.presets import PRESETS
+    from wav2vec2_tpu.ops.flash_attention import FORCE_ENV
     from wav2vec2_tpu.parallel.batching import BatchAligner
+
+    use_flash = {"auto": None, "force": True, "off": False}[flash]
+    if flash == "force":
+        os.environ[FORCE_ENV] = "1"
+    else:
+        os.environ.pop(FORCE_ENV, None)
 
     cfg = PRESETS[name](vocab_size=32)
     vocab = {"|": 4}
@@ -45,7 +59,8 @@ def bench_one(name: str, batch: int, repeats: int, audio_sec: float) -> dict:
     params = init_params(cfg, jax.random.PRNGKey(0))
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
     aligner = BatchAligner(cfg, params, vocab, compute_dtype="bfloat16",
-                           normalize_on_device=True)
+                           normalize_on_device=True,
+                           use_flash_attention=use_flash)
 
     rng = np.random.default_rng(0)
     n = int(audio_sec * 16000)
@@ -100,6 +115,7 @@ def bench_one(name: str, batch: int, repeats: int, audio_sec: float) -> dict:
         "audio_seconds_per_utt": audio_sec,
         "realtime_factor": round(repeats * batch * audio_sec / total_s, 1),
         "ms_per_batch": round(total_s / repeats * 1000, 1),
+        "flash": flash,
     }
 
 
@@ -118,6 +134,10 @@ def main(argv=None) -> int:
     p.add_argument("--emit-json", metavar="PATH",
                    help="also append each result line to this JSONL artifact "
                         "(e.g. reports/family_throughput.jsonl)")
+    p.add_argument("--flash", choices=("auto", "force", "off"),
+                   default="auto",
+                   help="attention dispatch: shipping auto, force the "
+                        "Pallas kernel everywhere legal, or XLA everywhere")
     args = p.parse_args(argv)
 
     from wav2vec2_tpu.utils.device import enable_compilation_cache
@@ -144,7 +164,8 @@ def main(argv=None) -> int:
             # activation memory and pin the historical batch shape
         else:
             b = args.batch
-        r = bench_one(name, b, args.repeats, args.audio_seconds)
+        r = bench_one(name, b, args.repeats, args.audio_seconds,
+                      flash=args.flash)
         print(json.dumps(r), flush=True)
         if args.emit_json:
             with open(args.emit_json, "a", encoding="utf-8") as f:

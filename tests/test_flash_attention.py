@@ -11,6 +11,7 @@ backend); real-TPU execution is gated in scripts/bench_models.py +
 bench.py's correctness pass.
 """
 
+import functools
 import math
 
 import numpy as np
@@ -112,12 +113,26 @@ def test_kernel_bf16_within_rounding():
                  dtype=jnp.bfloat16) < 3e-2
 
 
-def test_dispatch_caps():
-    assert use_flash(499, 64)
+def test_dispatch_caps(monkeypatch):
+    # measured win table: rel-pos only by default (flash_ab_r5.jsonl)
+    assert use_flash(499, 64, rel=True)
     assert use_flash(2048, 64, rel=True)
-    assert not use_flash(2049, 64, rel=True)
-    assert not use_flash(4097, 64)
-    assert not use_flash(499, 256)  # head_dim beyond one lane tile
+    assert not use_flash(2561, 64, rel=True)  # VMEM byte budget
+    assert not use_flash(499, 64)       # plain: XLA measured faster
+    assert not use_flash(499, 64, dtype=jnp.float32)
+    assert not use_flash(499, 256, rel=True)  # head_dim beyond one lane
+    # the budget is dtype-aware: f32 doubles k/v residency (ADVICE r4)
+    assert use_flash(499, 64, rel=True, dtype=jnp.float32)
+    assert not use_flash(2048, 64, rel=True, dtype=jnp.float32)
+
+    # the A/B escape hatch forces the kernel where legal, but never past
+    # the VMEM budget — and the budget is dtype-aware (an f32/hd=128
+    # launch at T_pad=4096 would exceed VMEM in Mosaic)
+    monkeypatch.setenv("WAV2VEC2_FLASH_FORCE", "1")
+    assert use_flash(499, 64)
+    assert not use_flash(4865, 64)
+    assert use_flash(4096, 64, dtype=jnp.bfloat16)
+    assert not use_flash(4096, 128, dtype=jnp.float32)
 
 
 def _tiny_wav2vec2(**over):
@@ -153,7 +168,11 @@ def _flag_vs_xla_logits(cfg, seed=0, batch=2, n=4000):
     return float(jnp.max(jnp.abs(base - flash))) / scale
 
 
-def test_encoder_flag_equivalence_wav2vec2():
+def test_encoder_flag_equivalence_wav2vec2(monkeypatch):
+    # plain attention only dispatches to the kernel when forced (the
+    # measured winner at serving shapes is XLA) — force it here so the
+    # flag-on path actually exercises the kernel
+    monkeypatch.setenv("WAV2VEC2_FLASH_FORCE", "1")
     assert _flag_vs_xla_logits(_tiny_wav2vec2()) < 1e-4
 
 
@@ -168,7 +187,8 @@ def test_encoder_flag_equivalence_conformer_rel():
     assert _flag_vs_xla_logits(cfg) < 1e-3
 
 
-def test_encoder_flag_equivalence_conformer_rotary():
+def test_encoder_flag_equivalence_conformer_rotary(monkeypatch):
+    monkeypatch.setenv("WAV2VEC2_FLASH_FORCE", "1")
     cfg = _tiny_wav2vec2(
         model_type="wav2vec2-conformer", position_embeddings_type="rotary",
         hidden_act="swish", conv_depthwise_kernel_size=7,
@@ -177,6 +197,8 @@ def test_encoder_flag_equivalence_conformer_rotary():
 
 
 def test_batch_aligner_auto_flag():
+    import dataclasses
+
     from wav2vec2_tpu.models.params import init_params
     from wav2vec2_tpu.parallel.batching import BatchAligner
 
@@ -189,3 +211,97 @@ def test_batch_aligner_auto_flag():
     ba_on = BatchAligner(cfg, params, vocab, compute_dtype="float32",
                          use_flash_attention=True)
     assert ba_on.cfg.use_flash_attention
+    # symmetric override: explicit False clears a cfg that arrived flagged
+    cfg_flagged = dataclasses.replace(cfg, use_flash_attention=True)
+    ba_off = BatchAligner(cfg_flagged, params, vocab,
+                          compute_dtype="float32",
+                          use_flash_attention=False)
+    assert not ba_off.cfg.use_flash_attention
+
+
+def _mesh_2d():
+    import numpy as np
+    from jax.sharding import Mesh
+
+    n = len(jax.devices())
+    if n < 4:
+        pytest.skip("needs the forced 8-device CPU mesh")
+    return Mesh(np.array(jax.devices()[:4]).reshape(2, 2),
+                ("data", "model"))
+
+
+@pytest.mark.parametrize("rel", [False, True])
+def test_kernel_shard_map_matches_unsharded(rel):
+    """Under a ('data', 'model') mesh the launch runs inside jax.shard_map
+    (batch over 'data', heads over 'model'); per-shard results must equal
+    the unsharded kernel bit-for-bit (same program, smaller grid)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = _mesh_2d()
+    b, nh, t, hd = 4, 4, 200, 32
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(b, nh, t, hd)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, nh, t, hd)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, nh, t, hd)), jnp.float32)
+    lens = rng.integers(t // 2, t + 1, size=b)
+    mask = jnp.asarray(
+        np.where(np.arange(t)[None] < lens[:, None], 0.0, -np.inf),
+        jnp.float32,
+    )
+    kw = {}
+    if rel:
+        h = nh * hd
+        w_pos = jnp.asarray((rng.normal(size=(h, h)) * 0.1), jnp.float32)
+        kw = dict(q_pos=jnp.asarray(rng.normal(size=(b, nh, t, hd)),
+                                    jnp.float32),
+                  rel_r=rel_table_rev(w_pos, nh, pad_len(t), jnp.float32))
+
+    want = flash_attention(q, k, v, mask, scale=hd ** -0.5, **kw)
+
+    sh = NamedSharding(mesh, P("data", "model"))
+    qs, ks, vs = (jax.device_put(x, sh) for x in (q, k, v))
+    ms = jax.device_put(mask, NamedSharding(mesh, P("data")))
+    if rel:
+        kw = dict(q_pos=jax.device_put(kw["q_pos"], sh),
+                  rel_r=jax.device_put(
+                      kw["rel_r"], NamedSharding(mesh, P("model"))))
+    fn = jax.jit(functools.partial(
+        flash_attention, scale=hd ** -0.5, spmd_mesh=mesh.abstract_mesh,
+        interpret=True,
+    ))
+    got = fn(qs, ks, vs, ms, **kw)
+    assert float(jnp.max(jnp.abs(got - want))) == 0.0
+
+
+def test_batch_aligner_flash_under_mesh():
+    """End-to-end: a conformer rel-pos BatchAligner with a mesh and flash
+    forced on must produce the same paths as the unsharded flash aligner
+    (the shard_map wrapper is transparent)."""
+    from wav2vec2_tpu.models.params import init_params
+    from wav2vec2_tpu.parallel.batching import BatchAligner
+    from wav2vec2_tpu.parallel.mesh import shard_params
+
+    mesh = _mesh_2d()
+    cfg = _tiny_wav2vec2(
+        model_type="wav2vec2-conformer", position_embeddings_type="relative",
+        hidden_act="swish", conv_depthwise_kernel_size=7,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    vocab = {"|": 1, "a": 2, "b": 3, "c": 4}
+    rng = np.random.default_rng(1)
+    audio = (rng.normal(size=(4, 8000)) * 0.1).astype(np.float32)
+    transcripts = ["ab cab", "ba abc", "cc ba", "abc a"]
+
+    base = BatchAligner(cfg, params, vocab, compute_dtype="float32",
+                        use_flash_attention=True)
+    assert base.cfg.flash_spmd is None
+    want = base.align_utterances(list(audio), transcripts)
+
+    sharded = BatchAligner(cfg, shard_params(params, mesh), vocab,
+                           compute_dtype="float32", mesh=mesh,
+                           use_flash_attention=True)
+    assert sharded.cfg.flash_spmd is not None
+    got = sharded.align_utterances(list(audio), transcripts)
+    for w_out, g_out in zip(want, got):
+        assert [ (w.word, w.start_ms, w.end_ms) for w in w_out.words ] == \
+               [ (g.word, g.start_ms, g.end_ms) for g in g_out.words ]

@@ -170,12 +170,19 @@ def make_forward_fn(cfg: Wav2Vec2ModelConfig, compute_dtype=jnp.float32):
 
 
 class _FrozenCfg:
-    """Hashable, immutable view of Wav2Vec2ModelConfig for jit static args."""
+    """Hashable, immutable view of Wav2Vec2ModelConfig for jit static args.
 
-    __slots__ = ("_cfg", "_key")
+    `flash_spmd` (an optional `jax.sharding.AbstractMesh`) rides along as a
+    serving-time static: under a device mesh the encoder's fused-attention
+    launch must run inside `jax.shard_map` (ops/flash_attention.py SPMD
+    note), and the mesh is part of the compiled program's identity, so it
+    belongs in the jit key — but NOT in the serializable model config."""
 
-    def __init__(self, cfg: Wav2Vec2ModelConfig):
+    __slots__ = ("_cfg", "_key", "flash_spmd")
+
+    def __init__(self, cfg: Wav2Vec2ModelConfig, flash_spmd=None):
         object.__setattr__(self, "_cfg", cfg)
+        object.__setattr__(self, "flash_spmd", flash_spmd)
         object.__setattr__(
             self,
             "_key",
@@ -218,6 +225,7 @@ class _FrozenCfg:
                 getattr(cfg, "use_intermediate_ffn_before_adapter", False),
                 getattr(cfg, "adapter_act", "relu"),
                 getattr(cfg, "use_flash_attention", False),
+                flash_spmd,
             ),
         )
 
@@ -231,5 +239,9 @@ class _FrozenCfg:
         return isinstance(other, _FrozenCfg) and self._key == other._key
 
 
-def _freeze_cfg(cfg: Wav2Vec2ModelConfig) -> _FrozenCfg:
-    return cfg if isinstance(cfg, _FrozenCfg) else _FrozenCfg(cfg)
+def _freeze_cfg(cfg: Wav2Vec2ModelConfig, flash_spmd=None) -> _FrozenCfg:
+    if isinstance(cfg, _FrozenCfg):
+        if cfg.flash_spmd is flash_spmd or flash_spmd is None:
+            return cfg
+        return _FrozenCfg(cfg._cfg, flash_spmd=flash_spmd)
+    return _FrozenCfg(cfg, flash_spmd=flash_spmd)

@@ -135,6 +135,7 @@ def _self_attention(
     num_heads: int,
     position_bias: jnp.ndarray | None = None,
     use_flash: bool = False,
+    flash_spmd=None,
 ) -> jnp.ndarray:
     b, t, h = x.shape
     head_dim = h // num_heads
@@ -164,13 +165,17 @@ def _self_attention(
     if use_flash and position_bias is None:
         from ..ops import flash_attention as fa
 
-        if fa.use_flash(t, head_dim):
+        if fa.use_flash(t, head_dim, dtype=x.dtype):
             # fused kernel: no [B, H, T, T] score tensor in HBM, f32
-            # softmax in VMEM (ops/flash_attention.py). mask_bias is the
-            # [B, 1, 1, T] additive key mask here (the gated WavLM bias is
-            # excluded by `position_bias is None`).
+            # softmax in VMEM (ops/flash_attention.py). Measured dispatch:
+            # XLA's fused attention wins for this plain style at every
+            # serving shape (use_flash returns False unless forced —
+            # reports/flash_ab_r5.jsonl). mask_bias is the [B, 1, 1, T]
+            # additive key mask here (the gated WavLM bias is excluded by
+            # `position_bias is None`).
             mb = None if mask_bias is None else mask_bias.reshape(b, t)
-            out = fa.flash_attention(q, k, v, mb, scale=1.0)
+            out = fa.flash_attention(q, k, v, mb, scale=1.0,
+                                     spmd_mesh=flash_spmd)
             out = out.transpose(0, 2, 1, 3).reshape(b, t, h)
             return linear_maybe_quantized(out, p["out_proj"])
 
@@ -261,6 +266,7 @@ def _encoder_layer(
             nh,
             position_bias,
             use_flash=flash,
+            flash_spmd=getattr(cfg, "flash_spmd", None),
         )
         y = h + _feed_forward(
             lp["feed_forward"],
@@ -270,7 +276,8 @@ def _encoder_layer(
         # post-norm (wav2vec2-base): h = ln1(x + attn(x)); y = ln2(h + ff(h))
         h = layer_norm(
             x + _self_attention(lp["attention"], x, mask_bias, nh,
-                                position_bias, use_flash=flash),
+                                position_bias, use_flash=flash,
+                                flash_spmd=getattr(cfg, "flash_spmd", None)),
             lp["layer_norm"]["weight"],
             lp["layer_norm"]["bias"],
             eps,
@@ -578,15 +585,19 @@ def _conformer_attention(
     if getattr(cfg, "use_flash_attention", False) and style != "relative_key":
         # fused kernel (ops/flash_attention.py): for style="relative" the
         # Transformer-XL term runs in its per-diagonal form — one extra
-        # [128, hd]·[hd, T+128] MXU matmul per query tile + an in-VMEM
-        # shear — instead of the factorized U·G contraction whose inner
-        # dimension H costs nh/2× the FLOPs (and whose [B, nh, T, H]
-        # intermediates cost ~0.5 GB each at B=32, T=499). relative_key
-        # keeps the measured-winner XLA gather form (see below).
+        # [BLOCK_Q, hd]·[hd, T+BLOCK_Q] MXU matmul per query tile + an
+        # in-VMEM shear — instead of the factorized U·G contraction whose
+        # inner dimension H costs nh/2× the FLOPs (and whose [B, nh, T, H]
+        # intermediates cost ~0.5 GB each at B=32, T=499). This is the one
+        # measured flash win (880→1238× realtime on TPU v5e,
+        # reports/flash_ab_r5.jsonl); rotary/none keep XLA's fused
+        # attention and relative_key keeps the measured-winner XLA gather
+        # form (see below) — use_flash encodes that table.
         from ..ops import flash_attention as fa
 
         rel = style == "relative"
-        if fa.use_flash(t, hd, rel=rel):
+        if fa.use_flash(t, hd, rel=rel, dtype=x.dtype):
+            spmd = getattr(cfg, "flash_spmd", None)
             mb = None if mask_bias is None else mask_bias.reshape(b, t)
             if rel:
                 bias_u = p["pos_bias_u"].astype(x.dtype)[None, :, None, :]
@@ -596,10 +607,11 @@ def _conformer_attention(
                 )
                 out = fa.flash_attention(
                     q + bias_u, k, v, mb, q_pos=q + bias_v, rel_r=rel_r,
-                    scale=hd ** -0.5,
+                    scale=hd ** -0.5, spmd_mesh=spmd,
                 )
             else:
-                out = fa.flash_attention(q, k, v, mb, scale=hd ** -0.5)
+                out = fa.flash_attention(q, k, v, mb, scale=hd ** -0.5,
+                                         spmd_mesh=spmd)
             out = out.transpose(0, 2, 1, 3).reshape(b, t, h)
             return linear_maybe_quantized(out, p["linear_out"])
 

@@ -206,24 +206,33 @@ class BatchAligner:
 
         self.normalize_on_device = normalize_on_device
         if use_flash_attention is None:
-            # auto: fused attention on real TPU, single-device only (a
-            # pallas_call cannot be GSPMD-partitioned under a mesh); int8
-            # serving keeps the XLA path (its projections feed the MXU's
-            # int8 kernels, scores are unaffected but unproven — opt in
-            # explicitly)
-            use_flash_attention = (
-                on_tpu() and mesh is None and not quantize_int8
-            )
-        if use_flash_attention and not getattr(
-            model_cfg, "use_flash_attention", False
-        ):
+            # auto: enable the fused-attention kernel on real TPU. Dispatch
+            # inside ops/flash_attention.use_flash is measurement-driven —
+            # the kernel fires only for the conformer rel-pos style where
+            # it measurably wins (880→1238× realtime); plain/rotary models
+            # keep XLA's fused attention (reports/flash_ab_r5.jsonl). int8
+            # serving keeps the XLA path everywhere (its projections feed
+            # the MXU's int8 kernels, scores are unaffected but unproven —
+            # opt in explicitly). Under a mesh the launch runs inside
+            # jax.shard_map (batch over 'data', heads over 'model' — no
+            # collectives), exercised by dryrun_multichip's flash phase.
+            use_flash_attention = on_tpu() and not quantize_int8
+        if isinstance(model_cfg, Wav2Vec2ModelConfig) and bool(
+            getattr(model_cfg, "use_flash_attention", False)
+        ) != bool(use_flash_attention):
+            # symmetric override: explicit False clears a cfg that arrived
+            # with the flag set, explicit/auto True sets it
             import dataclasses
 
-            if isinstance(model_cfg, Wav2Vec2ModelConfig):
-                model_cfg = dataclasses.replace(
-                    model_cfg, use_flash_attention=True
-                )
-        self.cfg = _freeze_cfg(model_cfg)
+            model_cfg = dataclasses.replace(
+                model_cfg, use_flash_attention=bool(use_flash_attention)
+            )
+        flash_spmd = (
+            mesh.abstract_mesh
+            if use_flash_attention and mesh is not None and mesh.size > 1
+            else None
+        )
+        self.cfg = _freeze_cfg(model_cfg, flash_spmd=flash_spmd)
         if quantize_int8:
             # opt-in int8 serving mode: encoder projections run on the MXU's
             # int8 path (~2x bf16 rate on v5e); see models/quantize.py
