@@ -210,4 +210,9 @@ def test_use_onehot_gather_dispatch_rule():
     assert _use_onehot_gather(392, 301)        # phoneme CTC, 30 s window
     assert not _use_onehot_gather(392, 17)     # v_pad=512 >= 2*s_pad=256
     assert _use_onehot_gather(392, 8000)       # 512*8064*4 = 15.8 MB: fits
-    assert not _use_onehot_gather(392, 8300)   # one-hot above 16 MB budget
+    # the hour × phoneme shape (T=180 000, S=12 599): one-hot 25.9 MB must
+    # still dispatch to the gather tier — the pre-gathered alternative
+    # needs ~9.1 GB emissions + 9.1 GB backpointers, which cannot fit HBM
+    # (regression: reports/longform_phoneme_60min.json)
+    assert _use_onehot_gather(397, 12599)
+    assert not _use_onehot_gather(392, 21000)  # one-hot above 40 MB budget

@@ -613,6 +613,13 @@ def viterbi_pallas_single_hbm(
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
+        compiler_params=pltpu.CompilerParams(
+            # wide-S long-form (S in the 10 000s): the double-buffered
+            # emission/bp blocks + path row + DP score rows exceed the
+            # default 16 MB scoped budget (measured 17.83 MB at T=180 000,
+            # S=12 672); v5e has 128 MB physical VMEM
+            vmem_limit_bytes=40 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(
         jnp.reshape(jnp.asarray(t_len, jnp.int32), (1, 1)),
@@ -685,8 +692,13 @@ VMEM_BUDGET_BYTES = 12 * 1024 * 1024  # leave headroom below the ~16 MB VMEM
 # The one-hot token matrix of the in-kernel gather tier lives in VMEM for
 # the whole kernel (reused by every 8-row block); cap it well below the
 # 64 MB scoped limit the gather kernels request so the block buffers +
-# path rows always fit beside it.
-ONEHOT_VMEM_BUDGET_BYTES = 16 * 1024 * 1024
+# path rows + DP score rows always fit beside it (they total ~4 MB at the
+# hour × phoneme shape). 40 MB admits S ≈ 20 000 at v_pad = 512 — covers
+# 1 h of phoneme-CTC audio (S = 12 672 → one-hot 25.9 MB), the shape the
+# gather tier exists for: its pre-gathered alternative needs [T, S] f32
+# emissions + int32 backpointers ≈ 9.1 GB EACH there, which cannot fit
+# 16 GB of HBM at all (measured: reports/longform_phoneme_60min.json).
+ONEHOT_VMEM_BUDGET_BYTES = 40 * 1024 * 1024
 
 
 def _use_onehot_gather(v: int, s_len: int) -> bool:
