@@ -153,6 +153,11 @@ def _attn_kernel(*refs, scale: float, have_mask: bool, rel: bool,
             qp, g, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
         )  # [BLOCK_Q, T_pad+BLOCK_Q]
+        # the shear stays f32: a bf16 shear would halve its VPU traffic
+        # (the kernel's dominant non-MXU cost) but Mosaic's tpu.dynamic_rotate
+        # only supports 32-bit element types ("Rotate with non-32-bit data",
+        # measured round 5), and the binary decomposition's odd shift (b=1)
+        # rules out packing bf16 pairs into i32 lanes
         s = s + _shear_right_by_row(p2, interpret)[:, BLOCK_Q:]
 
     s = s * jnp.float32(scale)
