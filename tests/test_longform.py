@@ -3,7 +3,12 @@
 import numpy as np
 import pytest
 
-from wav2vec2_tpu.align.longform import align_longform, chunk_spans, stitch_log_probs
+from wav2vec2_tpu.align.longform import (
+    align_longform,
+    chunk_spans,
+    stitch_indices,
+    stitch_log_probs,
+)
 from wav2vec2_tpu.config import Wav2Vec2ModelConfig
 
 
@@ -35,6 +40,35 @@ def test_stitch_prefers_deepest_context():
     assert out[6, 0] == 0.0
     assert out[9, 0] == 1.0
     assert out[5, 0] == 0.0 and out[12, 0] == 1.0
+
+
+def test_stitch_indices_gather_matches_value_stitch():
+    """The index-pair form (device-gather stitch) selects EXACTLY the frames
+    the value-stitch oracle selects, including tie-breaks (earlier chunk
+    wins on equal depth) and a short ragged tail chunk."""
+    rng = np.random.default_rng(7)
+    stride = 10
+    v = 5
+    # three chunks: two full (12 frames) + a short tail (5 frames), uneven
+    # overlaps so depth ties and one-sided wins both occur
+    spans = [(0, 120), (70, 190), (160, 210)]
+    lps = [
+        rng.standard_normal((12, v)).astype(np.float32),
+        rng.standard_normal((12, v)).astype(np.float32),
+        rng.standard_normal((5, v)).astype(np.float32),
+    ]
+    total = 21
+    oracle = stitch_log_probs(lps, spans, stride, total)
+    c_idx, l_idx = stitch_indices([lp.shape[0] for lp in lps], spans, stride, total)
+    pad_t = max(lp.shape[0] for lp in lps)
+    stacked = np.zeros((len(lps), pad_t, v), np.float32)
+    for i, lp in enumerate(lps):
+        stacked[i, : lp.shape[0]] = lp
+    gathered = stacked[c_idx, l_idx, :]
+    np.testing.assert_array_equal(gathered, oracle)
+    # indices never reference padding rows
+    for g in range(total):
+        assert l_idx[g] < lps[c_idx[g]].shape[0]
 
 
 @pytest.fixture(scope="module")

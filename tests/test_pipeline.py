@@ -182,6 +182,29 @@ def test_normalize_audio_zero_mean_unit_var():
     assert abs(float(n.std()) - 1.0) < 1e-4
 
 
+def test_normalize_audio_bitwise_matches_naive():
+    """The in-place single-temporary form must be BITWISE identical to the
+    naive reference formulation (runtime.rs:501-517 semantics): same IEEE
+    ops in the same order, same pairwise reduction trees. Sizes straddle
+    numpy's pairwise-summation block boundaries; values include extremes."""
+
+    def naive(samples):
+        x = np.asarray(samples, dtype=np.float32)
+        xd = x.astype(np.float64)
+        mean = xd.mean()
+        var = ((xd - mean) ** 2).mean()
+        std = max(np.sqrt(var), 1e-7)
+        return ((xd - mean) / std).astype(np.float32)
+
+    rng = np.random.default_rng(42)
+    for size in (1, 7, 128, 129, 8191, 8192, 8193, 100_003):
+        x = (rng.normal(size=size) * 1e3).astype(np.float32)
+        x[:: max(size // 7, 1)] = np.float32(3e-39)  # subnormal f32
+        np.testing.assert_array_equal(
+            normalize_audio(x).view(np.uint32), naive(x).view(np.uint32)
+        )
+
+
 def test_normalize_audio_sigma_floor():
     x = np.full(100, 5.0, np.float32)  # zero variance → σ floor 1e-7
     n = normalize_audio(x)

@@ -70,6 +70,34 @@ def stitch_log_probs(
     return out
 
 
+def stitch_indices(
+    n_frames: list[int],
+    spans: list[tuple[int, int]],
+    stride: int,
+    total_frames: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(chunk_idx, local_idx) int32 per global frame — the same
+    deepest-context selection `stitch_log_probs` applies to values, computed
+    on indices alone so the stitch itself can run as ONE device gather
+    (`log_probs[chunk_idx, local_idx, :]`) without the [T_total, V] matrix
+    ever visiting the host. Host cost is O(T_total) integers."""
+    chunk_idx = np.zeros(total_frames, np.int32)
+    local_idx = np.zeros(total_frames, np.int32)
+    best_depth = np.full(total_frames, -1, np.int64)
+    for ci, (n_f, (s0, _)) in enumerate(zip(n_frames, spans)):
+        f0 = s0 // stride
+        count = min(n_f, total_frames - f0)
+        if count <= 0:
+            continue
+        local = np.arange(count)
+        depth = np.minimum(local, n_f - 1 - local)
+        sel = depth > best_depth[f0 : f0 + count]
+        best_depth[f0 : f0 + count][sel] = depth[sel]
+        chunk_idx[f0 : f0 + count][sel] = ci
+        local_idx[f0 : f0 + count][sel] = local[sel].astype(np.int32)
+    return chunk_idx, local_idx
+
+
 def align_longform(
     audio: np.ndarray,
     transcript: str,
@@ -89,10 +117,24 @@ def align_longform(
     `mesh` shards the CHUNK batch over the 'data' axis — the sequence-
     parallel dimension for long-form audio (each chunk is independent until
     the stitched DP, so chunk-parallelism needs no ring attention at this
-    model scale; SURVEY.md §2.8 SP row)."""
+    model scale; SURVEY.md §2.8 SP row).
+
+    Single-device (mesh=None), the whole log-prob lifecycle is
+    device-resident: chunk log-probs stay on chip, the overlap stitch is ONE
+    gather driven by host-computed indices (`stitch_indices`), the DP reads
+    the stitched [T_total, V] matrix in place, and grouping evidence comes
+    back as four T-length vectors (ops/evidence.py). Host↔device traffic is
+    the audio up + O(T) down — the reference's D2H of the full logits matrix
+    (cuda_forward.rs:50-69) would be ~282 MB at 60 min × V=392; over this
+    machine's TPU tunnel that round-trip dominated the hour-scale wall
+    (71.9 s → see BENCHMARKS.md long-form table). Under a mesh the chunk
+    batch is sharded, so the stitch crosses shards; that path keeps the
+    host-side stitch."""
+    import jax
     import jax.numpy as jnp
 
     from ..models.ctc_model import log_softmax_logits, make_forward_fn
+    from ..ops.evidence import compute_frame_evidence_device
     from ..ops.viterbi_pallas import fits_vmem, on_tpu
     from ..ops.viterbi_pallas import viterbi_pallas_single, viterbi_pallas_single_hbm
     from ..ops.viterbi_ref import viterbi_single
@@ -130,9 +172,16 @@ def align_longform(
     dtype = jnp.float32 if compute_dtype == "float32" else jnp.bfloat16
     fwd = make_forward_fn(model_cfg, compute_dtype=dtype)
 
+    # mesh=None: log-probs never visit the host (device gather stitch +
+    # device DP + device evidence reductions). Under a mesh the chunk batch
+    # is sharded across devices, so stitch/DP pull to host as before.
+    device_resident = mesh is None
+
     if n <= chunk_samples:
         logits = fwd(params, jnp.asarray(normalized)[None, :])
-        log_probs = np.asarray(log_softmax_logits(logits))[0]
+        log_probs = log_softmax_logits(logits)[0]
+        if not device_resident:
+            log_probs = np.asarray(log_probs)
     else:
         spans = chunk_spans(n, chunk_samples, overlap_samples, stride)
         # padded batches over the chunks (bucketed forward); hour-scale
@@ -147,8 +196,8 @@ def align_longform(
             lens[i] = s1 - s0
 
         def _forward_slice(batch_np, lens_np):
+            """Device log-probs [rows, T_chunk_pad, V] for one sub-batch."""
             batch_dev, lens_dev = jnp.asarray(batch_np), jnp.asarray(lens_np)
-            real_rows = batch_np.shape[0]
             if mesh is not None:
                 from ..parallel.mesh import batch_sharding
 
@@ -162,14 +211,14 @@ def align_longform(
                     lens_np = np.concatenate(
                         [lens_np, np.ones(pad_rows, np.int32)]
                     )
-                import jax
-
                 batch_dev = jax.device_put(batch_np, bs)
                 lens_dev = jax.device_put(lens_np, bs)
             logits = fwd(params, batch_dev, lens_dev)
-            return np.asarray(log_softmax_logits(logits))[:real_rows]
+            return log_softmax_logits(logits)
 
-        chunk_lps = []
+        total_frames = model_cfg.conv_output_length(n)
+        blocks = []  # device path: per-sub-batch device arrays
+        chunk_lps = []  # host path: trimmed per-chunk np arrays
         for lo in range(0, len(spans), max_chunk_batch):
             hi = min(lo + max_chunk_batch, len(spans))
             # keep the sub-batch shape constant (jit cache) by padding the
@@ -178,12 +227,29 @@ def align_longform(
                 max_chunk_batch - (hi - lo) if len(spans) > max_chunk_batch else 0
             )
             lp_all = _forward_slice(batch[rows], lens[rows])
+            if device_resident:
+                # trim repeat-padding rows so chunk i sits at concat row i
+                blocks.append(lp_all[: hi - lo])
+                continue
+            lp_all = np.asarray(lp_all)
             for j, i in enumerate(range(lo, hi)):
                 chunk_lps.append(
                     lp_all[j, : model_cfg.conv_output_length(int(lens[i]))]
                 )
-        total_frames = model_cfg.conv_output_length(n)
-        log_probs = stitch_log_probs(chunk_lps, spans, stride, total_frames)
+        if device_resident:
+            # the stitch is ONE gather: host computes only the per-frame
+            # (chunk, local-frame) index pair (deepest-context rule), the
+            # [T_total, V] matrix itself never leaves the chip
+            n_frames = [
+                model_cfg.conv_output_length(int(lens[i]))
+                for i in range(len(spans))
+            ]
+            c_idx, l_idx = stitch_indices(n_frames, spans, stride, total_frames)
+            lps_all = blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks)
+            log_probs = lps_all[jnp.asarray(c_idx), jnp.asarray(l_idx), :]
+            del lps_all, blocks
+        else:
+            log_probs = stitch_log_probs(chunk_lps, spans, stride, total_frames)
 
     t_len = log_probs.shape[0]
     s_len = len(seq.tokens)
@@ -193,15 +259,22 @@ def align_longform(
         vit = viterbi_pallas_single
     else:
         vit = viterbi_pallas_single_hbm  # hour-scale: bp streamed via HBM
-    path = np.asarray(
-        vit(
-            jnp.asarray(log_probs),
-            jnp.asarray(seq.tokens, jnp.int32),
-            jnp.int32(t_len),
-            jnp.int32(s_len),
+    tokens_dev = jnp.asarray(seq.tokens, jnp.int32)
+    lp_dev = log_probs if device_resident else jnp.asarray(log_probs)
+    path_dev = vit(lp_dev, tokens_dev, jnp.int32(t_len), jnp.int32(s_len))
+    if device_resident:
+        # grouping needs only four per-frame reductions — computed on device,
+        # so what crosses the tunnel is O(T), not T×V (same contract as the
+        # serving path, ops/evidence.py)
+        evidence = compute_frame_evidence_device(
+            lp_dev, tokens_dev, path_dev, blank_id, t_len
         )
-    )[:t_len]
-    evidence = frame_evidence_from_log_probs(log_probs, seq.tokens, path, blank_id)
+        path = np.asarray(path_dev)[:t_len]
+    else:
+        path = np.asarray(path_dev)[:t_len]
+        evidence = frame_evidence_from_log_probs(
+            log_probs, seq.tokens, path, blank_id
+        )
     words = group_into_words(
         [(int(s), t) for t, s in enumerate(path)],
         seq.tokens, seq.chars, seq.normalized_words, evidence,

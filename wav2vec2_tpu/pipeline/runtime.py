@@ -56,13 +56,23 @@ class ProfiledAlignmentOutput:
 
 def normalize_audio(samples: np.ndarray) -> np.ndarray:
     """Zero-mean/unit-variance in f64 accumulation, σ floor 1e-7
-    (runtime.rs:501-517)."""
-    x = np.asarray(samples, dtype=np.float32)
-    xd = x.astype(np.float64)
+    (runtime.rs:501-517).
+
+    In-place f64 passes: the naive ``((xd-mean)**2).mean()`` /
+    ``((xd-mean)/std)`` formulation allocates four full-length f64
+    temporaries (~460 MB each at 60 min of 16 kHz audio) and re-computes
+    the centered array twice; hour-scale host profiling showed it
+    dominating long-form preprocessing. This form is bitwise-identical
+    (same IEEE ops, same pairwise-reduction trees — locked by
+    tests/test_pipeline.py::test_normalize_audio_bitwise_matches_naive)
+    with one temporary and single passes."""
+    xd = np.asarray(samples, dtype=np.float32).astype(np.float64)
     mean = xd.mean()
-    var = ((xd - mean) ** 2).mean()
+    xd -= mean
+    var = np.square(xd).mean()
     std = max(np.sqrt(var), 1e-7)
-    return ((xd - mean) / std).astype(np.float32)
+    xd /= std
+    return xd.astype(np.float32)
 
 
 def _utterance_frame_stats(path_states, tokens, blank_id, evidence):
